@@ -1,0 +1,341 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The standard relational surface (SURVEY.md §2.8 X1–X12): scans with
+  * pushdown, the join family, aggregates/rollup, windows, set ops,
+  * scalar-function coverage, JSON extraction, and a batch tumbling window
+  * over `events`.
+  *
+  * All plain Catalyst built-ins — declared so the driver's DuckDB oracle can
+  * verify them, and so the bench exercises the planner paths (broadcast vs
+  * shuffle join, partial aggregation, window exec) that dominate at scale.
+  *
+  * Scale notes (100 TB): every query here aggregates or filters before any
+  * wide result; dimension joins are explicit `broadcast()`; all shuffles key
+  * on natural join/group keys so AQE can coalesce partitions.
+  */
+object Relational {
+
+  /** Projection-only scan — column pruning must reach the parquet reader
+    * (ReadSchema shows only these 5 columns). */
+  private val qScan = Q("q_scan",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) {
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+          "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Predicate pushdown: all three filters appear in PushedFilters. */
+  private val qFilter = Q("q_filter",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+      |  AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 25
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 25)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Shuffle hash/SMJ equi-join: orders ⋈ customer (both large at scale —
+    * shuffle on the join key, AQE picks SHJ vs SMJ). */
+  private val qJoinHash = Q("q_join_hash",
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |  ROUND(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))/100.0, 2) AS total_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"), "inner")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        Q.exactSum(col("o_totalprice"), 2).as("total_price"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Broadcast-join star: fact lineitem against three broadcast dims — at
+    * 100 TB the fact side never shuffles for dimension joins. */
+  private val qJoinBroadcast = Q("q_join_broadcast",
+    """SELECT r_name, n_name, COUNT(*) AS n_items, ROUND(SUM(l_quantity),6) AS sum_qty
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin) {
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum("l_quantity"), 6).as("sum_qty"))
+        .orderBy("r_name", "n_name")
+  }
+
+  /** Left outer join preserving customers with zero orders. */
+  private val qJoinOuter = Q("q_join_outer",
+    """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+      |  ROUND(COALESCE(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)), 0)/100.0, 2) AS total_price
+      |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(sum(round(col("o_totalprice") * 100).cast("long")),
+          lit(0L)) / 100.0, 2).as("total_price"))
+      .orderBy("c_custkey")
+  }
+
+  /** Left-semi join (EXISTS). */
+  private val qJoinSemi = Q("q_join_semi",
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_totalprice") > 100000),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .select("c_custkey", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** Left-anti join (NOT EXISTS). */
+  private val qJoinAnti = Q("q_join_anti",
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_totalprice") > 100000),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .select("c_custkey", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** Range (theta) self-join: events within 5 minutes per user. Equi on
+    * user_id bounds the blow-up; the time predicate is post-join. */
+  private val qJoinRange = Q("q_join_range",
+    """SELECT a.user_id AS user_id, COUNT(*) AS n_pairs
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id AND b.ts > a.ts
+      | AND b.ts <= a.ts + INTERVAL 5 MINUTE
+      |GROUP BY a.user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    val a = Tables.events(s, d).select(col("user_id"), col("ts").as("ts_a"))
+    val b = Tables.events(s, d).select(col("user_id"), col("ts").as("ts_b"))
+    a.join(b, Seq("user_id"))
+      .filter(col("ts_b") > col("ts_a") &&
+        col("ts_b") <= col("ts_a") + expr("INTERVAL 5 MINUTES"))
+      .groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("user_id")
+  }
+
+  /** TPC-H Q1-style hash aggregate: partial (map-side) + final, the core
+    * pattern for 100 TB aggregation. Sums are exact: l_quantity is
+    * integer-valued; money is quantized to BIGINT before summing. */
+  private val qGroupbyAgg = Q("q_groupby_agg",
+    """SELECT l_returnflag, l_linestatus,
+      |  ROUND(SUM(l_quantity),6) AS sum_qty,
+      |  ROUND(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT))/100.0, 2) AS sum_base_price,
+      |  ROUND(SUM(CAST(ROUND(l_quantity*l_discount*10000) AS BIGINT))/10000.0, 4) AS sum_disc_qty,
+      |  ROUND(AVG(l_quantity),6) AS avg_qty,
+      |  COUNT(*) AS count_order
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 6).as("sum_qty"),
+        Q.exactSum(col("l_extendedprice"), 2).as("sum_base_price"),
+        Q.exactSum(col("l_quantity") * col("l_discount"), 4).as("sum_disc_qty"),
+        round(avg("l_quantity"), 6).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** ROLLUP grouping sets. */
+  private val qAggRollup = Q("q_agg_rollup",
+    """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+      |  COUNT(*) AS n, ROUND(SUM(l_quantity),6) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY rf, ls""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 6).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("sum_qty"))
+      .orderBy("rf", "ls")
+  }
+
+  /** Exact distinct aggregation (expand + two-phase agg under the hood). */
+  private val qAggDistinct = Q("q_agg_distinct",
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_part,
+      |  COUNT(DISTINCT l_suppkey) AS nd_supp, COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("nd_part"),
+          countDistinct(col("l_suppkey")).as("nd_supp"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+  }
+
+  /** Ranking window: top 10 orders per market segment. */
+  private val qWindowRank = Q("q_window_rank",
+    """WITH r AS (
+      |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY c_mktsegment
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders JOIN customer ON o_custkey = c_custkey)
+      |SELECT c_mktsegment, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice
+      |FROM r WHERE rn <= 10 ORDER BY c_mktsegment, rn""".stripMargin) {
+    (s, d) =>
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 10)
+        .select("c_mktsegment", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("c_mktsegment", "rn")
+  }
+
+  /** Running-sum window frame per user (exact via quantized BIGINT sum). */
+  private val qWindowRunsum = Q("q_window_runsum",
+    """SELECT event_id, user_id,
+      |  ROUND(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)/100.0, 2) AS run_value
+      |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("run_value",
+        round(sum(round(col("value") * 100).cast("long")).over(w) / 100.0, 2))
+      .select("event_id", "user_id", "run_value")
+      .orderBy("event_id")
+  }
+
+  /** Global top-k: TakeOrderedAndProject, no full sort at scale. */
+  private val qTopk = Q("q_topk",
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin) {
+    (s, d) =>
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+  }
+
+  /** UNION (distinct). */
+  private val qUnion = Q("q_union",
+    """SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+      |UNION
+      |SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    Tables.customer(s, d).filter(col("c_acctbal") > 5000).select("c_custkey")
+      .union(Tables.orders(s, d).filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey").as("c_custkey")))
+      .distinct()
+      .orderBy("c_custkey")
+  }
+
+  /** INTERSECT (distinct). */
+  private val qIntersect = Q("q_intersect",
+    """SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+      |INTERSECT
+      |SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    Tables.customer(s, d).filter(col("c_acctbal") > 5000).select("c_custkey")
+      .intersect(Tables.orders(s, d).filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey").as("c_custkey")))
+      .orderBy("c_custkey")
+  }
+
+  /** EXCEPT (distinct). */
+  private val qExcept = Q("q_except",
+    """SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+      |EXCEPT
+      |SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    Tables.customer(s, d).filter(col("c_acctbal") > 5000).select("c_custkey")
+      .except(Tables.orders(s, d).filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey").as("c_custkey")))
+      .orderBy("c_custkey")
+  }
+
+  /** String/date scalar-function coverage (all codegen'd built-ins). */
+  private val qStringDateFns = Q("q_string_date_fns",
+    """SELECT o_orderkey,
+      |  upper(substr(o_orderpriority, 1, 4)) AS prio_code,
+      |  concat(o_orderstatus, '-', o_orderpriority) AS status_prio,
+      |  CAST(length(o_orderpriority) AS BIGINT) AS prio_len,
+      |  CAST(year(o_orderdate) AS BIGINT) AS order_year,
+      |  CAST(month(o_orderdate) AS BIGINT) AS order_month,
+      |  date_trunc('month', o_orderdate) AS month_start,
+      |  CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        upper(substring(col("o_orderpriority"), 1, 4)).as("prio_code"),
+        concat(col("o_orderstatus"), lit("-"), col("o_orderpriority"))
+          .as("status_prio"),
+        length(col("o_orderpriority")).cast("long").as("prio_len"),
+        year(col("o_orderdate")).cast("long").as("order_year"),
+        month(col("o_orderdate")).cast("long").as("order_month"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+          .cast("long").as("days_since"))
+      .orderBy("o_orderkey")
+  }
+
+  /** JSON field extraction from events.props. */
+  private val qJsonExtract = Q("q_json_extract",
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
+        .orderBy("event_type")
+  }
+
+  /** Batch form of the streaming tumbling window (X15): 1-hour buckets.
+    * Same buckets Structured Streaming's window() produces — verified
+    * against date_trunc in DuckDB. */
+  private val qEventTumble = Q("q_event_tumble",
+    """SELECT date_trunc('hour', ts) AS ws, event_type, COUNT(*) AS n,
+      |  ROUND(SUM(CAST(ROUND(value*100) AS BIGINT))/100.0, 2) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Q.exactSum(col("value"), 2).as("sum_value"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"),
+        col("sum_value"))
+      .orderBy("ws", "event_type")
+  }
+
+  val all: Seq[Q] = Seq(qScan, qFilter, qJoinHash, qJoinBroadcast, qJoinOuter,
+    qJoinSemi, qJoinAnti, qJoinRange, qGroupbyAgg, qAggRollup, qAggDistinct,
+    qWindowRank, qWindowRunsum, qTopk, qUnion, qIntersect, qExcept,
+    qStringDateFns, qJsonExtract, qEventTumble)
+}
