@@ -12,11 +12,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def modules: Seq[Q] =
-    operators.Relational.all ++ operators.CooQueries.all
+    operators.Relational.all ++ operators.CooQueries.all ++ ml.MlQueries.all
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The §7.2 end-to-end slice: ridge regression over lineitem — scan →
+    * quantized features → one-pass Gram/Xᵀy aggregate → Breeze solve → β. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q_groupby_agg")(spark, "/root/testdata/sf0.001")
+    queries("q_ridge_beta")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

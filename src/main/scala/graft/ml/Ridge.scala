@@ -1,0 +1,85 @@
+package graft.ml
+
+import breeze.linalg.{DenseMatrix, DenseVector}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed ridge / OLS via normal equations, re-expressing the
+  * reference's `dridge`/`ssr`/`testBeta` (mahout-samsara-book:
+  * myMahoutApp/src/main/scala/myMahoutApp/LinearRegression.scala:17-97).
+  *
+  * The lifecycle mirrors SURVEY.md §3.1: one distributed pass computes the
+  * k×k Gram and Xᵀy as exact partial+final aggregates (map-side combine —
+  * the only shuffle moves k² doubles per partition, independent of row
+  * count, so the pattern holds unchanged at 100 TB); the k×k solve is
+  * driver-side Breeze, as in the reference (`solve(mxA, b)`,
+  * LinearRegression.scala:33).
+  *
+  * Determinism for the oracle hash-match: features and the target are
+  * quantized to integer-valued doubles before the sums, so Gram/Xᵀy are
+  * bit-exact in any summation order; only the final solve differs between
+  * engines (Breeze LU here, Cramer in the DuckDB oracle), absorbed by
+  * rounding β to 4 decimals.
+  */
+object Ridge {
+
+  final case class Fit(beta: DenseVector[Double], gramInv: DenseMatrix[Double],
+      n: Long, ssr: Double) {
+    /** σ̂² = SSR/(m−n), reference `regVarEstimate`
+      * (LinearRegression.scala:50-57). */
+    def sigma2: Double = ssr / (n - beta.length)
+    /** SE(βⱼ) = sqrt(σ̂² · (XᵀX)⁻¹ⱼⱼ), reference `testBeta`
+      * (LinearRegression.scala:59-97). */
+    def se: DenseVector[Double] =
+      DenseVector.tabulate(beta.length)(j => math.sqrt(sigma2 * gramInv(j, j)))
+    def tStats: DenseVector[Double] =
+      DenseVector.tabulate(beta.length)(j => beta(j) / se(j))
+  }
+
+  /** Fit y ~ [1, features...] with ridge λ. `features` and `target` are
+    * column expressions over `df` that must evaluate to integer-valued
+    * doubles (quantize upstream) for cross-engine exactness.
+    */
+  def fit(df: DataFrame, features: Seq[org.apache.spark.sql.Column],
+      target: org.apache.spark.sql.Column, lambda: Double): Fit = {
+    val k = features.length + 1
+    val x = lit(1.0) +: features
+    // One pass: all Gram + Xᵀy sums as exact BIGINT aggregates.
+    val aggs =
+      (for (p <- 0 until k; q <- p until k)
+        yield sum((x(p) * x(q)).cast("long")).as(s"g_${p}_$q")) ++
+        (for (p <- 0 until k) yield sum((x(p) * target).cast("long")).as(s"b_$p")) :+
+        count(lit(1)).as("n")
+    val row: Row = df.agg(aggs.head, aggs.tail: _*).head()
+
+    val g = DenseMatrix.zeros[Double](k, k)
+    for (p <- 0 until k; q <- p until k) {
+      val v = row.getAs[Long](s"g_${p}_$q").toDouble
+      g(p, q) = v; g(q, p) = v
+    }
+    val b = DenseVector.tabulate(k)(p => row.getAs[Long](s"b_$p").toDouble)
+    val n = row.getAs[Long]("n")
+    val reg = g + DenseMatrix.eye[Double](k) * lambda
+    val beta = reg \ b
+    val gramInv = breeze.linalg.inv(reg)
+
+    // SSR in a second distributed pass with the solved β as literals.
+    val pred = x.zipWithIndex.map { case (c, p) => c * lit(beta(p)) }
+      .reduce(_ + _)
+    val ssr = df.agg(sum(pow(target - pred, 2)).as("ssr")).head()
+      .getAs[Double]("ssr")
+    Fit(beta, gramInv, n, ssr)
+  }
+
+  /** β as a (j, beta) DataFrame rounded for the oracle hash-match.
+    * `scale` divides β back to natural units after quantization. */
+  def betaFrame(s: SparkSession, fit: Fit, scale: Double): DataFrame = {
+    val rows = fit.beta.toArray.zipWithIndex.map { case (b, j) =>
+      (j.toLong, round4(b / scale))
+    }
+    s.createDataFrame(rows.toIndexedSeq).toDF("j", "beta").orderBy("j")
+  }
+
+  def round4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+}
