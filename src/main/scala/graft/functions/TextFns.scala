@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text primitives for the NLP / LLM-pipeline layers.
+  *
+  * The tokenizer re-expresses the reference's unigram analyzer
+  * (mahout-samsara-book: naiveBayesExample/src/main/scala/nbexample/
+  * NaiveBayesServlet.scala:80-82 — `replaceAll("[^\\p{L}\\p{Nd}]+", " ")
+  * .toLowerCase.split(" ")`) with codegen'd built-ins only; the `[a-z0-9]`
+  * class is used (instead of `\p{L}\p{Nd}`) so the DuckDB RE2 oracle and
+  * Java regex behave identically on this corpus.
+  */
+object TextFns {
+
+  /** SQL fragment shared by every tokenized oracle: doc_id, lang, term,
+    * pos (1-based). */
+  val tokSql: String =
+    """arr AS (SELECT doc_id, lang, string_split(
+      |    regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ') AS a
+      |  FROM documents),
+      |tokf AS (SELECT doc_id, lang, term, pos FROM (
+      |    SELECT doc_id, lang, unnest(a) AS term,
+      |           generate_subscripts(a, 1) AS pos FROM arr)
+      |  WHERE length(term) > 0)""".stripMargin
+
+  def normalize(text: Column): Column =
+    regexp_replace(lower(text), "[^a-z0-9]+", " ")
+
+  /** documents → (doc_id, lang, term, pos) with 1-based positions, empties
+    * dropped. Narrow op — no shuffle; tokenization streams inside the
+    * scan stage. */
+  def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+      posexplode(split(normalize(col("text")), " ")).as(Seq("pos0", "term")))
+      .filter(length(col("term")) > 0)
+      .select(col("doc_id"), col("lang"), col("term"),
+        (col("pos0") + 1).cast("long").as("pos"))
+
+  /** k-token shingles via lead() windows (1 shuffle on doc_id; at scale
+    * tokenize+shingle fuse into the same stage as the downstream minhash). */
+  def shingles(toks: DataFrame, k: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val sh = (1 until k).foldLeft(col("term")) { (acc, off) =>
+      concat(acc, lit(" "), lead(col("term"), off).over(w))
+    }
+    toks.select(col("doc_id"), sh.as("sh")).filter(col("sh").isNotNull)
+  }
+
+  /** Cosine similarity between two ARRAY<DOUBLE> columns — pure codegen'd
+    * higher-order functions, no UDF (SURVEY §2.8 X14). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** ARRAY<FLOAT> → ARRAY<DOUBLE> (widen before arithmetic so both engines
+    * compute in double). */
+  def toDoubleArray(c: Column): Column = transform(c, x => x.cast("double"))
+}

@@ -1,0 +1,149 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.TextFns
+import graft.ml.TWCNB
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's text/NLP classifier pipeline (SURVEY.md §2.6 N1–N7 +
+  * S3 dictionary load) as declared queries over `documents`.
+  */
+object TextQueries {
+
+  private val tokSql = TextFns.tokSql
+
+  /** N1: regex unigram tokenizer (NaiveBayesServlet.scala:80-82). */
+  private val qTokenize = Q("q_tokenize",
+    s"""WITH $tokSql
+       |SELECT doc_id, pos, term FROM tokf ORDER BY doc_id, pos""".stripMargin) {
+    (s, d) =>
+      TextFns.tokens(Tables.documents(s, d))
+        .select("doc_id", "pos", "term").orderBy("doc_id", "pos")
+  }
+
+  /** N2: per-document term frequency (NaiveBayesServlet.scala:82-84). */
+  private val qTermFreq = Q("q_term_freq",
+    s"""WITH $tokSql
+       |SELECT doc_id, term, COUNT(*) AS tf FROM tokf
+       |GROUP BY doc_id, term ORDER BY doc_id, term""".stripMargin) { (s, d) =>
+    TextFns.tokens(Tables.documents(s, d))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .orderBy("doc_id", "term")
+  }
+
+  /** S3: dictionary + document-frequency load — the DataFrame replacement
+    * for the reference's driver-side sequence-file maps
+    * (NaiveBayesServlet.scala:45-64): stays distributed, joined not
+    * collected. */
+  private val qDictLoad = Q("q_dict_load",
+    s"""WITH $tokSql,
+       |d AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tokf GROUP BY term)
+       |SELECT term, CAST(row_number() OVER (ORDER BY term) - 1 AS BIGINT) AS idx,
+       |  df FROM d ORDER BY term""".stripMargin) { (s, d) =>
+    TextFns.tokens(Tables.documents(s, d))
+      .groupBy("term").agg(countDistinct("doc_id").as("df"))
+      .withColumn("idx",
+        (row_number().over(Window.orderBy("term")) - 1).cast("long"))
+      .select("term", "idx", "df")
+      .orderBy("term")
+  }
+
+  /** N4: dictionary-filtered vectorization — OOV terms drop via inner-join
+    * semantics (NaiveBayesServlet.scala:92-104). Dictionary = df ≥ 5. */
+  private val qDictVectorize = Q("q_dict_vectorize",
+    s"""WITH $tokSql,
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tokf GROUP BY 1, 2),
+       |d AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |dict AS (SELECT term, CAST(row_number() OVER (ORDER BY term) - 1 AS BIGINT) AS idx
+       |         FROM d WHERE df >= 5)
+       |SELECT t.doc_id, dict.idx, t.tf FROM tf t JOIN dict USING (term)
+       |ORDER BY doc_id, idx""".stripMargin) { (s, d) =>
+    val tf = TextFns.tokens(Tables.documents(s, d))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dict = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 5)
+      .withColumn("idx",
+        (row_number().over(Window.orderBy("term")) - 1).cast("long"))
+    tf.join(broadcast(dict.select("term", "idx")), "term")
+      .select("doc_id", "idx", "tf")
+      .orderBy("doc_id", "idx")
+  }
+
+  /** N3: TF-IDF weighting — tf·ln((N+1)/(df+1)), the join form of
+    * `TFIDF.calculate` (NaiveBayesServlet.scala:90-101). */
+  private val qTfidf = Q("q_tfidf",
+    s"""WITH $tokSql,
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tokf GROUP BY 1, 2),
+       |d AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents)
+       |SELECT tf.doc_id, tf.term,
+       |  ROUND(tf.tf * LN((n.n + 1.0) / (d.df + 1.0)), 6) AS tfidf
+       |FROM tf JOIN d USING (term) CROSS JOIN n
+       |ORDER BY doc_id, term""".stripMargin) { (s, d) =>
+    val tf = TextFns.tokens(Tables.documents(s, d))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = Tables.documents(s, d).select(
+      count(lit(1)).cast("double").as("n"))
+    tf.join(broadcast(df), "term").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * log((col("n") + 1.0) / (col("df") + 1.0)), 6)
+          .as("tfidf"))
+      .orderBy("doc_id", "term")
+  }
+
+  /** Shared SQL for the TWCNB model (mirrors [[graft.ml.TWCNB.train]]). */
+  private val twcnbSql: String =
+    s"""$tokSql,
+       |ntc AS (SELECT lang AS label, term, CAST(COUNT(*) AS BIGINT) AS n
+       |        FROM tokf GROUP BY 1, 2),
+       |grid AS (SELECT l.label, v.term
+       |  FROM (SELECT DISTINCT label FROM ntc) l
+       |  CROSS JOIN (SELECT DISTINCT term FROM ntc) v),
+       |tot AS (SELECT term, CAST(SUM(n) AS BIGINT) AS tot FROM ntc GROUP BY term),
+       |comp AS (SELECT g.label, g.term, t.tot - COALESCE(n.n, 0) AS nc
+       |  FROM grid g LEFT JOIN ntc n ON g.label = n.label AND g.term = n.term
+       |  JOIN tot t ON g.term = t.term),
+       |theta AS (SELECT label, term,
+       |  LN((nc + 1.0) / SUM(nc + 1.0) OVER (PARTITION BY label)) AS theta
+       |  FROM comp),
+       |model AS (SELECT label, term,
+       |  theta / SUM(ABS(theta)) OVER (PARTITION BY label) AS w FROM theta)"""
+      .stripMargin
+
+  /** N5: the full TWCNB training chain (TWCNB.scala:28-148) — one Catalyst
+    * plan (trained on counts; the tfidf-weighted variant is exercised in
+    * the ScalaTest differential suite). */
+  private val qTwcnbModel = Q("q_twcnb_model",
+    s"""WITH $twcnbSql
+       |SELECT label, term, ROUND(w, 6) AS w FROM model
+       |ORDER BY label, term""".stripMargin) { (s, d) =>
+    val toks = TextFns.tokens(Tables.documents(s, d))
+      .select(col("lang").as("label"), col("term"))
+    TWCNB.train(toks)
+      .select(col("label"), col("term"), round(col("w"), 6).as("w"))
+      .orderBy("label", "term")
+  }
+
+  /** N7: batch scoring — the score matrix (doc × class), i.e. the
+    * distributed matmul of TWCNBSuite.scala:115 (argmax is q_argmax). */
+  private val qNbScore = Q("q_nb_score",
+    s"""WITH $twcnbSql,
+       |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |       FROM tokf GROUP BY 1, 2)
+       |SELECT tf.doc_id, m.label, ROUND(SUM(tf.tf * m.w), 6) AS score
+       |FROM tf JOIN model m USING (term)
+       |GROUP BY tf.doc_id, m.label ORDER BY doc_id, label""".stripMargin) {
+    (s, d) =>
+      val toks = TextFns.tokens(Tables.documents(s, d))
+      val model = TWCNB.train(toks.select(col("lang").as("label"), col("term")))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      TWCNB.score(tf, broadcast(model))
+        .select(col("doc_id"), col("label"), round(col("score"), 6).as("score"))
+        .orderBy("doc_id", "label")
+  }
+
+  val all: Seq[Q] = Seq(qTokenize, qTermFreq, qDictLoad, qDictVectorize,
+    qTfidf, qTwcnbModel, qNbScore)
+}
