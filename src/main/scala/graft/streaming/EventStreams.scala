@@ -1,0 +1,128 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming surface over the `events` table (SURVEY.md §2.8
+  * X15 — a north-star extension; the reference has no streaming layer).
+  *
+  * Design rule: every transform is a pure `DataFrame => DataFrame` valid on
+  * BOTH static and streaming frames — the batch form is the DuckDB-checked
+  * oracle (`q_event_tumble`), the streaming form is the same plan executed
+  * incrementally. Batch/stream equivalence is asserted in
+  * [[graft.StreamingSpec]], the test strategy SURVEY.md §7.3(5) prescribes
+  * since streaming output is not DuckDB-checkable.
+  *
+  * Scale notes: windowed aggregations shuffle once on (window, key);
+  * watermarks bound state so a 1000-executor cluster holds only
+  * `|open windows| × |keys|` rows of state, independent of stream length.
+  * Session windows merge on the keyed state store; the stateful sessionizer
+  * keeps one fixed-size [[SessionState]] per user — O(users) state, spilled
+  * to the state store, not the heap.
+  */
+object EventStreams {
+
+  /** Typed view of one event row (events.parquet schema, TESTDATA.md). */
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  /** Running per-user session summary emitted by the stateful sessionizer. */
+  final case class SessionUpdate(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long, sum_value: Double,
+      closed: Boolean)
+
+  /** Keyed state: the open session for one user. Timestamps are kept as
+    * `java.sql.Timestamp` (micros preserved by the encoder) so emitted
+    * session bounds are bit-identical to `session_window`'s. */
+  final case class SessionState(start: Timestamp, last: Timestamp, n: Long,
+      sum: Double)
+
+  /** Tumbling event-time window per event_type (streaming twin of
+    * `q_event_tumble`). */
+  def tumbling(events: DataFrame, width: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"),
+        col("sum_value"))
+
+  /** Sliding event-time window: every `slide`, aggregate the last `width`. */
+  def sliding(events: DataFrame, width: String = "1 hour",
+      slide: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("ws"), col("window.end").as("we"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Session windows per user: events within `gap` of each other merge
+    * into one session (built-in state-store merge — the declarative form
+    * of [[sessionize]]). */
+  def sessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  /** Late-data bound: state for windows older than `delay` behind the max
+    * observed event time is finalized and dropped. No-op on batch frames
+    * (Spark ignores watermarks there) — same plan, both modes. */
+  def watermarked(events: DataFrame, delay: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", delay)
+
+  /** Custom keyed state via flatMapGroupsWithState: per-user sessionization
+    * emitting a running [[SessionUpdate]] per input batch (Update mode),
+    * closing the session when a gap > `gapMinutes` is seen. The escape
+    * hatch for session semantics `session_window` can't express (e.g.
+    * value-dependent gaps); kept deliberately parallel to [[sessions]].
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Long = 30)
+      : Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    def update(userId: Long, it: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[SessionUpdate] = {
+      val sorted = it.toSeq.sortBy(_.ts.getTime)
+      if (sorted.isEmpty) Iterator.empty
+      else {
+        var st = state.getOption.orNull
+        val out = Seq.newBuilder[SessionUpdate]
+        for (e <- sorted) {
+          if (st == null) {
+            st = SessionState(e.ts, e.ts, 1, e.value)
+          } else if (e.ts.getTime - st.last.getTime > gapMs) {
+            out += SessionUpdate(userId, st.start, st.last, st.n, st.sum,
+              closed = true)
+            st = SessionState(e.ts, e.ts, 1, e.value)
+          } else {
+            st = SessionState(st.start, e.ts, st.n + 1, st.sum + e.value)
+          }
+        }
+        state.update(st)
+        out += SessionUpdate(userId, st.start, st.last, st.n, st.sum,
+          closed = false)
+        out.result().iterator
+      }
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** File-source streaming reader over a directory of event parquet —
+    * the production entry (`readStream` → transforms → `writeStream`).
+    * Schema is pinned (required by streaming sources).
+    */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+      .parquet(dir)
+}

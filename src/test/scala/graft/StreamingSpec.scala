@@ -1,0 +1,145 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Batch/stream equivalence harness (SURVEY.md §7.3(5)): the same
+  * transform run (a) statically over events.parquet and (b) incrementally
+  * over a MemoryStream fed the same rows in several micro-batches must
+  * produce identical results — streaming is the incremental execution of
+  * the one declared plan, not a second implementation.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def staticEvents: DataFrame = Tables.events(spark, sfDir)
+
+  private def asEvents: Seq[Event] = {
+    staticEvents.collect().map { r =>
+      Event(r.getAs[Long]("event_id"), r.getAs[Timestamp]("ts"),
+        r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Double]("value"), r.getAs[String]("props"))
+    }.toSeq
+  }
+
+  /** Run a streaming aggregation over the events fed in `nChunks`
+    * micro-batches; return the final complete-mode result. */
+  private def runStream(transform: DataFrame => DataFrame, nChunks: Int)
+      : DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val name = s"stream_out_${System.nanoTime()}"
+    val q = transform(mem.toDF()).writeStream
+      .format("memory").queryName(name).outputMode(OutputMode.Complete)
+      .start()
+    try {
+      val all = asEvents
+      val chunk = math.max(1, all.size / nChunks)
+      all.grouped(chunk).foreach { batch =>
+        mem.addData(batch)
+        q.processAllAvailable()
+      }
+      spark.table(name)
+    } finally q.stop()
+  }
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("tumbling window: streaming over micro-batches == batch") {
+    val batch = EventStreams.tumbling(staticEvents)
+      .withColumn("sum_value", round(col("sum_value"), 6))
+    val stream = runStream(EventStreams.tumbling(_), nChunks = 7)
+      .withColumn("sum_value", round(col("sum_value"), 6))
+    canon(stream) shouldBe canon(batch)
+  }
+
+  test("sliding window: streaming == batch, rows appear in every overlapping window") {
+    val batch = EventStreams.sliding(staticEvents)
+      .withColumn("sum_value", round(col("sum_value"), 6))
+    val stream = runStream(EventStreams.sliding(_), nChunks = 5)
+      .withColumn("sum_value", round(col("sum_value"), 6))
+    canon(stream) shouldBe canon(batch)
+    // each event lands in width/slide = 2 windows
+    val n = staticEvents.count()
+    batch.agg(sum("n")).head().getLong(0) shouldBe 2 * n
+  }
+
+  test("session windows: streaming == batch") {
+    val batch = EventStreams.sessions(staticEvents)
+      .withColumn("sum_value", round(col("sum_value"), 6))
+    val stream = runStream(EventStreams.sessions(_), nChunks = 4)
+      .withColumn("sum_value", round(col("sum_value"), 6))
+    canon(stream) shouldBe canon(batch)
+  }
+
+  test("watermark bounds state in append mode without dropping in-order data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val name = s"wm_out_${System.nanoTime()}"
+    val q = EventStreams.tumbling(EventStreams.watermarked(mem.toDF(), "1 hour"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try {
+      val all = asEvents.sortBy(_.ts.getTime)
+      all.grouped(math.max(1, all.size / 5)).foreach { batch =>
+        mem.addData(batch)
+        q.processAllAvailable()
+      }
+      // Only windows at least 1h behind the max event time have been
+      // finalized (append emits closed windows only).
+      val emitted = spark.table(name)
+      val maxTs = all.last.ts.getTime
+      val closed = EventStreams.tumbling(staticEvents)
+        .filter(col("ws") < new Timestamp(maxTs - 2 * 3600 * 1000L))
+      val emittedKeys = emitted.select("ws", "event_type").collect()
+        .map(_.toString).toSet
+      closed.select("ws", "event_type").collect().map(_.toString)
+        .foreach(k => emittedKeys should contain(k))
+    } finally q.stop()
+  }
+
+  test("stateful sessionizer: closed sessions match session_window batch semantics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val name = s"sess_out_${System.nanoTime()}"
+    val q = EventStreams.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update).start()
+    try {
+      // Feed in event-time order so per-user in-batch sort sees ordered data.
+      val all = asEvents.sortBy(_.ts.getTime)
+      all.grouped(200).foreach { batch =>
+        mem.addData(batch)
+        q.processAllAvailable()
+      }
+      val updates = spark.table(name)
+      // closed sessions + the final open session per user == batch sessions
+      val finalOpen = updates.filter(!col("closed"))
+        .groupBy("user_id")
+        .agg(max_by(struct(col("session_start"), col("session_end"),
+          col("n_events"), col("sum_value")), col("session_end")).as("s"))
+        .select(col("user_id"), col("s.session_start"), col("s.session_end"),
+          col("s.n_events"), col("s.sum_value"))
+      val closed = updates.filter(col("closed"))
+        .select("user_id", "session_start", "session_end", "n_events",
+          "sum_value").distinct()
+      val ours = closed.unionAll(finalOpen)
+        .withColumn("sum_value", round(col("sum_value"), 6))
+        .select("user_id", "session_start", "n_events", "sum_value")
+      // session_window end = last_ts + gap; compare on (start, n, sum)
+      val batch = EventStreams.sessions(staticEvents)
+        .withColumn("sum_value", round(col("sum_value"), 6))
+        .select("user_id", "session_start", "n_events", "sum_value")
+      canon(ours) shouldBe canon(batch)
+    } finally q.stop()
+  }
+}
