@@ -1,0 +1,173 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns for the 100 TB training-data pipeline: image/audio/
+  * video payloads ride as opaque `BINARY` columns with a typed metadata
+  * struct, and every per-asset kernel (decode, resize, feature-extract,
+  * frame-sample) runs as a `mapPartitions` batch over a typed Dataset —
+  * the Scala analog of `mapInPandas` (one iterator per partition, assets
+  * streamed, never collected).
+  *
+  * The codec itself is STUBBED (no image/audio libraries in this
+  * environment): [[FakeCodec.decode]] generates deterministic pixels from
+  * the payload bytes. Everything around it — schema, partitioning, batch
+  * shape, resize/feature/frame-sample arithmetic — is real and tested; a
+  * production build swaps [[FakeCodec]] for a JNI/javax.imageio codec with
+  * the same signature.
+  *
+  * Scale notes: payload bytes never enter a shuffle — all kernels are
+  * narrow (partition-local), so the only data movement is the initial scan.
+  * Derived features (small fixed-width arrays) are what joins/groupBys see.
+  * Partitioning: size input splits by bytes (`files.maxPartitionBytes`),
+  * not rows — payloads dominate row width.
+  */
+object Multimodal {
+
+  /** Typed asset row: the canonical multimodal schema. */
+  final case class AssetMeta(width: Int, height: Int, channels: Int,
+      sampleRate: Int, nFrames: Int, mime: String)
+  final case class Asset(asset_id: Long, modality: String,
+      content: Array[Byte], meta: AssetMeta)
+
+  final case class DecodedImage(asset_id: Long, width: Int, height: Int,
+      channels: Int, pixels: Array[Byte])
+  final case class ImageFeatures(asset_id: Long, mean_rgb: Array[Double],
+      histogram: Array[Double])
+  final case class VideoFrame(asset_id: Long, frame_idx: Int,
+      pixels: Array[Byte])
+
+  /** STUB decoder — deterministic fake pixels in place of a real codec.
+    * Pixel (y,x,c) = byte mixed from the payload hash, so decode is
+    * reproducible, content-sensitive, and shaped exactly like a real
+    * decode (width*height*channels bytes, row-major, channel-interleaved).
+    */
+  object FakeCodec {
+    def decode(a: Asset): DecodedImage = {
+      val m = a.meta
+      val seed = java.util.Arrays.hashCode(a.content).toLong & 0xffffffffL
+      val px = new Array[Byte](m.width * m.height * m.channels)
+      var i = 0
+      var h = seed * 6364136223846793005L + 1442695040888963407L
+      while (i < px.length) {
+        h = h * 6364136223846793005L + 1442695040888963407L
+        px(i) = (h >>> 56).toByte
+        i += 1
+      }
+      DecodedImage(a.asset_id, m.width, m.height, m.channels, px)
+    }
+  }
+
+  /** Deterministic asset table derived from `documents` — the stand-in
+    * ingest: payload = utf-8 text bytes, geometry derived from doc_id.
+    * (In production this is `spark.read.format("binaryFile")` or parquet
+    * with a BINARY column.) */
+  def assetsFromDocuments(spark: SparkSession, sfDir: String): Dataset[Asset] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val w = 16 + (id % 4).toInt * 8 // 16..40 px wide
+        val h = 16 + (id % 3).toInt * 8
+        Asset(id, if (id % 5 == 0) "video" else "image",
+          text.getBytes("UTF-8"),
+          AssetMeta(w, h, channels = 3, sampleRate = 0,
+            nFrames = if (id % 5 == 0) 8 + (id % 7).toInt else 1,
+            mime = if (id % 5 == 0) "video/fake" else "image/fake"))
+      }
+  }
+
+  /** Decode: narrow per-partition batch over the typed Dataset (the
+    * mapInPandas shape — an iterator in, an iterator out, nothing
+    * materialized per-partition). */
+  def decode(assets: Dataset[Asset]): Dataset[DecodedImage] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map(FakeCodec.decode))
+  }
+
+  /** Nearest-neighbor resize — real resampling arithmetic over the decoded
+    * (fake) pixels; the kernel a production pipeline runs before feature
+    * extraction, shown partition-local and allocation-tight. */
+  def resize(decoded: Dataset[DecodedImage], outW: Int, outH: Int)
+      : Dataset[DecodedImage] = {
+    import decoded.sparkSession.implicits._
+    decoded.mapPartitions(_.map { img =>
+      val out = new Array[Byte](outW * outH * img.channels)
+      var y = 0
+      while (y < outH) {
+        val sy = y * img.height / outH
+        var x = 0
+        while (x < outW) {
+          val sx = x * img.width / outW
+          var c = 0
+          while (c < img.channels) {
+            out((y * outW + x) * img.channels + c) =
+              img.pixels((sy * img.width + sx) * img.channels + c)
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      DecodedImage(img.asset_id, outW, outH, img.channels, out)
+    })
+  }
+
+  /** Feature extraction: per-channel means + 8-bin luminance histogram
+    * (normalized) — the fixed-width embedding that downstream dedup /
+    * similarity joins consume instead of the payload. */
+  def imageFeatures(decoded: Dataset[DecodedImage]): Dataset[ImageFeatures] = {
+    import decoded.sparkSession.implicits._
+    decoded.mapPartitions(_.map { img =>
+      val nPix = img.width * img.height
+      val means = new Array[Double](img.channels)
+      val hist = new Array[Double](8)
+      var p = 0
+      while (p < nPix) {
+        var lum = 0.0
+        var c = 0
+        while (c < img.channels) {
+          val v = img.pixels(p * img.channels + c) & 0xff
+          means(c) += v
+          lum += v
+          c += 1
+        }
+        hist(((lum / img.channels).toInt) >> 5) += 1
+        p += 1
+      }
+      var c = 0
+      while (c < img.channels) { means(c) /= nPix; c += 1 }
+      var b = 0
+      while (b < 8) { hist(b) /= nPix; b += 1 }
+      ImageFeatures(img.asset_id, means, hist)
+    })
+  }
+
+  /** Frame sampling: every `stride`-th frame of a video asset, each frame
+    * decoded independently (flatMap — one asset fans out to its sampled
+    * frames, still partition-local). */
+  def sampleFrames(assets: Dataset[Asset], stride: Int): Dataset[VideoFrame] = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.modality == "video").mapPartitions(_.flatMap { a =>
+      (0 until a.meta.nFrames by stride).iterator.map { f =>
+        // STUB: a real codec seeks to frame f; the fake derives frame
+        // pixels from (payload, f) so frames differ deterministically.
+        val frameAsset = a.copy(
+          content = a.content ++ Array(f.toByte),
+          meta = a.meta.copy(nFrames = 1))
+        VideoFrame(a.asset_id, f, FakeCodec.decode(frameAsset).pixels)
+      }
+    })
+  }
+
+  /** Relational view of features for SQL-side consumption — the bridge
+    * from the typed kernel world back to Catalyst. */
+  def featureFrame(features: Dataset[ImageFeatures]): DataFrame =
+    features.toDF()
+      .select(col("asset_id"),
+        col("mean_rgb"), col("histogram"),
+        round(aggregate(col("mean_rgb"), lit(0.0), (a, v) => a + v) /
+          size(col("mean_rgb")), 6).as("brightness"))
+}

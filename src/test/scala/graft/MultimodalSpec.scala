@@ -1,0 +1,89 @@
+package graft
+
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Plumbing tests for the multimodal layer: the codec is a deterministic
+  * stub, so assertions target what is real — schema, shapes, determinism,
+  * resampling math, frame fan-out, and partition-locality.
+  */
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val assets = Multimodal.assetsFromDocuments(spark, sfDir)
+
+  test("asset schema: opaque binary payload + typed metadata struct") {
+    val df = assets.toDF()
+    df.schema("content").dataType.typeName shouldBe "binary"
+    df.schema("meta").dataType.typeName shouldBe "struct"
+    assets.count() should be > 0L
+    // payloads survive the round trip byte-exact
+    val one = assets.filter(_.asset_id == 0L).head()
+    new String(one.content, "UTF-8") shouldBe
+      Tables.documents(spark, sfDir).filter(col("doc_id") === 0)
+        .head().getAs[String]("text")
+  }
+
+  test("decode emits width*height*channels pixels, deterministically") {
+    val d1 = Multimodal.decode(assets).collect().map(i => i.asset_id -> i).toMap
+    val d2 = Multimodal.decode(assets).collect().map(i => i.asset_id -> i).toMap
+    d1.keySet shouldBe d2.keySet
+    d1.foreach { case (id, img) =>
+      img.pixels.length shouldBe img.width * img.height * img.channels
+      img.pixels.toSeq shouldBe d2(id).pixels.toSeq // reproducible
+    }
+  }
+
+  test("resize produces exact target geometry and samples source pixels") {
+    val resized = Multimodal.resize(Multimodal.decode(assets), 8, 8).collect()
+    resized.foreach { img =>
+      img.width shouldBe 8
+      img.height shouldBe 8
+      img.pixels.length shouldBe 8 * 8 * img.channels
+    }
+    // resizing to the identity geometry is a no-op
+    val src = Multimodal.decode(assets.filter(_.asset_id == 1L))
+    val same = Multimodal.resize(src, src.head().width, src.head().height)
+    same.head().pixels.toSeq shouldBe src.head().pixels.toSeq
+  }
+
+  test("image features: channel means in [0,255], histogram sums to 1") {
+    val feats = Multimodal.imageFeatures(Multimodal.decode(assets)).collect()
+    feats.foreach { f =>
+      f.mean_rgb.length shouldBe 3
+      f.mean_rgb.foreach(m => m should (be >= 0.0 and be <= 255.0))
+      f.histogram.length shouldBe 8
+      math.abs(f.histogram.sum - 1.0) should be < 1e-9
+    }
+  }
+
+  test("frame sampling fans out ceil(nFrames/stride) distinct frames per video") {
+    val vids = assets.filter(_.modality == "video").collect()
+      .map(a => a.asset_id -> a.meta.nFrames).toMap
+    vids should not be empty
+    val frames = Multimodal.sampleFrames(assets, stride = 2).collect()
+    val byAsset = frames.groupBy(_.asset_id)
+    byAsset.keySet shouldBe vids.keySet
+    byAsset.foreach { case (id, fs) =>
+      fs.length shouldBe (vids(id) + 1) / 2
+      fs.map(_.frame_idx).toSet shouldBe (0 until vids(id) by 2).toSet
+      // frames of one video differ (codec is content+frame sensitive)
+      fs.map(_.pixels.toSeq).toSet.size shouldBe fs.length
+    }
+  }
+
+  test("kernels are narrow: no shuffle in the decode->resize->features plan") {
+    val plan = Multimodal.featureFrame(
+      Multimodal.imageFeatures(
+        Multimodal.resize(Multimodal.decode(assets), 8, 8)))
+      .queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+  }
+
+  test("featureFrame exposes features relationally for downstream joins") {
+    val df = Multimodal.featureFrame(
+      Multimodal.imageFeatures(Multimodal.decode(assets)))
+    df.columns.toSeq shouldBe Seq("asset_id", "mean_rgb", "histogram",
+      "brightness")
+    df.count() shouldBe assets.count()
+  }
+}
