@@ -49,13 +49,16 @@ object TextFns {
     toks.select(col("doc_id"), sh.as("sh")).filter(col("sh").isNotNull)
   }
 
-  /** Cosine similarity between two ARRAY<DOUBLE> columns — pure codegen'd
-    * higher-order functions, no UDF (SURVEY §2.8 X14). */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  /** Cosine similarity between two ARRAY<DOUBLE> columns via the native
+    * [[DotProduct]] expression (SURVEY §2.8 X14) — identical summation
+    * order to the former zip_with/aggregate form (bit-equal results), but
+    * codegen'd: one bare loop, no per-pair array allocation. */
+  def cosine(a: Column, b: Column): Column =
+    ArrayExprs.dot(a, b) /
+      (sqrt(ArrayExprs.dot(a, a)) * sqrt(ArrayExprs.dot(b, b)))
+
+  /** Native-expression dot product (see [[DotProduct]]). */
+  def dot(a: Column, b: Column): Column = ArrayExprs.dot(a, b)
 
   /** ARRAY<FLOAT> → ARRAY<DOUBLE> (widen before arithmetic so both engines
     * compute in double). */

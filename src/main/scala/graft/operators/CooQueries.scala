@@ -47,19 +47,41 @@ object CooQueries {
 
   /** X16/A3: same Gram via the one-pass typed Aggregator (no n·k² shuffle;
     * the 100 TB-scale physical form). Same oracle as q_gram. */
+  /** One-pass Gram over the cooX design matrix: rows of X are assembled by
+    * ONE hash aggregate on the row key (duplicate (orderkey, linenumber)
+    * pairs exist in the testdata, and colliding COO cells sum into one
+    * matrix row — same semantics as the self-join), then [[GramAggregator]]
+    * sums per-row outer products map-side. One k-wide shuffle of |rows|,
+    * versus the self-join's |cells|² /|rows| joined pairs — the 100 TB
+    * physical form of Xᵀ X. */
+  private def gramOnePass(s: org.apache.spark.sql.SparkSession, d: String)
+      : Array[Double] = {
+    import s.implicits._
+    val rows = Tables.lineitem(s, d)
+      .groupBy(expr("l_orderkey*8 + l_linenumber").as("i"))
+      .agg(sum(lit(100.0)).as("f0"),
+        sum(expr("ROUND(l_quantity*100)")).as("f1"),
+        sum(expr("ROUND(l_discount*100)")).as("f2"),
+        sum(expr("ROUND(l_tax*100)")).as("f3"))
+      .select(array(col("f0"), col("f1"), col("f2"), col("f3")).as("vec"))
+      .as[Array[Double]]
+    rows.select(new GramAggregator(4).toColumn.name("g")).head()
+  }
+
+  private def gramCells(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val g = gramOnePass(s, d)
+    for (p <- 0 until 4; q <- 0 until 4)
+      yield (p.toLong, q.toLong, g(p * 4 + q) / 10000.0)
+  }
+
   private val qUdafGram = Q("q_udaf_gram",
     s"""WITH $cooXSql
        |SELECT a.j AS i, b.j AS j, ROUND(SUM(a.v * b.v) / 10000.0, 6) AS v
        |FROM cooX a JOIN cooX b ON a.i = b.i
        |GROUP BY 1, 2 ORDER BY i, j""".stripMargin) { (s, d) =>
-    import s.implicits._
-    val k = 4
-    val rows = Coo.toRows(cooX(s, d), k).select("vec").as[Array[Double]]
-    val g = rows.select(new GramAggregator(k).toColumn.name("g")).head()
-    val cells = for (p <- 0 until k; q <- 0 until k) yield {
-      val v = BigDecimal(g(p * k + q) / 10000.0)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      (p.toLong, q.toLong, v)
+    val cells = gramCells(s, d).map { case (p, q, v) =>
+      (p, q, BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
     }
     s.createDataFrame(cells).toDF("i", "j", "v").orderBy("i", "j")
   }
@@ -195,7 +217,10 @@ object CooQueries {
        |      FROM cooX a JOIN cooX b ON a.i = b.i GROUP BY 1, 2)
        |SELECT i, j, ROUND(CASE WHEN i = j THEN v + 10 ELSE v END, 6) AS v
        |FROM g ORDER BY i, j""".stripMargin) { (s, d) =>
-    val g = Coo.gram(cooX(s, d)).withColumn("v", col("v") / 10000.0)
+    // Gram via the one-pass aggregator (bit-identical integer sums; the
+    // self-join flavor is already exercised by q_gram) — this query's
+    // subject is the diagonal-shift operator.
+    val g = s.createDataFrame(gramCells(s, d)).toDF("i", "j", "v")
     Coo.diagReg(g, 10.0)
       .select(col("i"), col("j"), round(col("v"), 6).as("v"))
       .orderBy("i", "j")
