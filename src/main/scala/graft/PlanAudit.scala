@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan auditor: prints the formatted physical plan of selected queries so
+  * the scale properties (filter/projection pushdown, broadcast joins,
+  * whole-stage codegen spans, shuffle counts) can be inspected and tracked.
+  * Run: sbt "runMain graft.PlanAudit [query ...]"
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.01"
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q_scan", "q_filter", "q_join_broadcast", "q_join_hash",
+        "q_groupby_agg", "q_matmul", "q_gram", "q_tfidf", "q_dedup_exact",
+        "q_cosine_topk")
+    for (n <- names) {
+      println(s"==== $n ====")
+      val df = SparkEntry.queries(n)(spark, d)
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+    spark.stop()
+  }
+}
