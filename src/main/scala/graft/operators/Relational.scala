@@ -334,8 +334,22 @@ object Relational {
       .orderBy("ws", "event_type")
   }
 
+  /** X7: HLL++ approximate distinct — deterministic for a fixed input but
+    * not portable to the DuckDB oracle (different sketch), so rows-only
+    * here; the ScalaTest suite asserts <5% error vs exact. At 100 TB this
+    * replaces a full distinct shuffle with fixed-size mergeable sketches.
+    */
+  private val qAggApprox = Q.noOracle("q_agg_approx") { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_orderkey"), rsd = 0.02)
+        .as("approx_orders"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[Q] = Seq(qScan, qFilter, qJoinHash, qJoinBroadcast, qJoinOuter,
     qJoinSemi, qJoinAnti, qJoinRange, qGroupbyAgg, qAggRollup, qAggDistinct,
     qWindowRank, qWindowRunsum, qTopk, qUnion, qIntersect, qExcept,
-    qStringDateFns, qJsonExtract, qEventTumble)
+    qStringDateFns, qJsonExtract, qEventTumble, qAggApprox)
 }
