@@ -183,6 +183,23 @@ object Relational {
       .orderBy("rf", "ls")
   }
 
+  /** X6: CUBE — all 2² grouping combinations in one pass (Expand under
+    * the hood: each row fans out once per grouping set, then a single
+    * partial+final aggregate — one shuffle regardless of set count). */
+  private val qAggCube = Q("q_agg_cube",
+    """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+      |  COUNT(*) AS n, ROUND(SUM(l_quantity),6) AS sum_qty
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY rf, ls""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 6).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("sum_qty"))
+      .orderBy("rf", "ls")
+  }
+
   /** Exact distinct aggregation (expand + two-phase agg under the hood). */
   private val qAggDistinct = Q("q_agg_distinct",
     """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_part,
@@ -351,5 +368,5 @@ object Relational {
   val all: Seq[Q] = Seq(qScan, qFilter, qJoinHash, qJoinBroadcast, qJoinOuter,
     qJoinSemi, qJoinAnti, qJoinRange, qGroupbyAgg, qAggRollup, qAggDistinct,
     qWindowRank, qWindowRunsum, qTopk, qUnion, qIntersect, qExcept,
-    qStringDateFns, qJsonExtract, qEventTumble, qAggApprox)
+    qStringDateFns, qJsonExtract, qEventTumble, qAggApprox, qAggCube)
 }

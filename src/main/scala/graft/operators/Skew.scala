@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling join utilities (SURVEY §2.8 / the 100 TB checklist:
+  * "skewed keys → salting or AQE skew-join").
+  *
+  * AQE's skew-join handles sort-merge skew automatically at runtime; this
+  * explicit salt is for the cases AQE can't split — a single hot key whose
+  * matching build-side rows must be replicated, e.g. an aggregation-free
+  * broadcast-unfriendly dimension, or deterministic plans where runtime
+  * re-planning is disabled.
+  *
+  * Mechanics: the large (skewed) side gets a deterministic salt in
+  * [0, n) derived from non-key columns; the small side is replicated n
+  * times with every salt value; the join key becomes (key, salt), so one
+  * hot key spreads over n shuffle partitions. Result set is identical to
+  * the unsalted join (each large-side row still meets each matching
+  * small-side row exactly once).
+  */
+object Skew {
+
+  /** Inner equi-join `large ⋈ small` on `key`, salting the large side
+    * `nSalts` ways. `saltSource` must be a deterministic expression over
+    * the LARGE side (e.g. a row id) — it only needs to spread rows, not
+    * be random. */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+      nSalts: Int, saltSource: Column): DataFrame = {
+    val salted = large.withColumn("__salt",
+      pmod(xxhash64(saltSource), lit(nSalts)).cast("int"))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(nSalts - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+}
