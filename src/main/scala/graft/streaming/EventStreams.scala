@@ -116,6 +116,28 @@ object EventStreams {
         GroupStateTimeout.NoTimeout)(update)
   }
 
+  /** Stream-stream interval join: match each left event to right events
+    * of the same user within `[ts − before, ts + after]`. On streams,
+    * watermark BOTH sides (the interval plus the watermark bound the join
+    * state — Spark drops left/right state older than
+    * watermark − interval); on static frames the same plan is a plain
+    * range join. Columns are disambiguated with an `r_` prefix.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      before: String = "10 minutes", after: String = "10 minutes",
+      watermark: Option[String] = None): DataFrame = {
+    val l = watermark.fold(left)(w => left.withWatermark("ts", w))
+    val rRaw = right.select(col("event_id").as("r_event_id"),
+      col("ts").as("r_ts"), col("user_id").as("r_user_id"),
+      col("event_type").as("r_event_type"), col("value").as("r_value"))
+    val r = watermark.fold(rRaw)(w => rRaw.withWatermark("r_ts", w))
+    l.join(r,
+      col("user_id") === col("r_user_id") &&
+        col("r_ts") >= col("ts") - expr(s"INTERVAL $before") &&
+        col("r_ts") <= col("ts") + expr(s"INTERVAL $after"),
+      "inner")
+  }
+
   /** File-source streaming reader over a directory of event parquet —
     * the production entry (`readStream` → transforms → `writeStream`).
     * Schema is pinned (required by streaming sources).

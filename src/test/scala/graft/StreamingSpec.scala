@@ -142,4 +142,37 @@ class StreamingSpec extends SparkSpec {
       canon(ours) shouldBe canon(batch)
     } finally q.stop()
   }
+
+  test("stream-stream interval join == static range join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = asEvents.sortBy(_.ts.getTime)
+    val isLeft = (e: Event) => e.event_type == "purchase"
+    val isRight = (e: Event) => e.event_type == "error"
+
+    val batch = EventStreams.intervalJoin(
+      staticEvents.filter(col("event_type") === "purchase"),
+      staticEvents.filter(col("event_type") === "error"),
+      before = "30 minutes", after = "30 minutes")
+      .select("event_id", "r_event_id")
+
+    val memL = MemoryStream[Event]
+    val memR = MemoryStream[Event]
+    val name = s"ssj_out_${System.nanoTime()}"
+    val q = EventStreams.intervalJoin(memL.toDF(), memR.toDF(),
+      before = "30 minutes", after = "30 minutes",
+      watermark = Some("2 hours"))
+      .select("event_id", "r_event_id")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try {
+      all.grouped(math.max(1, all.size / 4)).foreach { chunk =>
+        memL.addData(chunk.filter(isLeft))
+        memR.addData(chunk.filter(isRight))
+        q.processAllAvailable()
+      }
+      val got = spark.table(name).collect().map(_.toString).sorted.toSeq
+      got shouldBe batch.collect().map(_.toString).sorted.toSeq
+    } finally q.stop()
+  }
 }
