@@ -39,7 +39,7 @@ object Bahmani {
 
   private def sq(x: Double) = x * x
 
-  private[ml] def distSq(a: Array[Double], b: Array[Double]): Double = {
+  private[graft] def distSq(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0
     var i = 0
     while (i < a.length) { s += sq(a(i) - b(i)); i += 1 }
@@ -47,7 +47,7 @@ object Bahmani {
   }
 
   /** Deterministic U(0,1) from (id, iter, seed) — splitmix64 finalizer. */
-  private[ml] def unif(id: Long, iter: Int, seed: Long): Double = {
+  private[graft] def unif(id: Long, iter: Int, seed: Long): Double = {
     var z = id ^ (iter * 0x9e3779b97f4a7c15L) ^ seed
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
@@ -58,7 +58,7 @@ object Bahmani {
   /** Elkan-pruned nearest-center search (ref BahmaniSketch.scala:112-150):
     * returns (index, d²). `cNorms` are precomputed ‖c‖; the lemma-1 bound
     * (‖c‖−‖x‖)² > minDsq skips the full distance evaluation. */
-  private[ml] def nearest(x: Array[Double], centers: Array[Array[Double]],
+  private[graft] def nearest(x: Array[Double], centers: Array[Array[Double]],
       cNorms: Array[Double]): (Int, Double) = {
     val xNorm = math.sqrt(x.map(sq).sum)
     var best = 0

@@ -118,4 +118,21 @@ class DifferentialSpec extends SparkSpec {
     info(f"ANN mean recall@5 = $mean%.3f over ${recalls.size} queries")
     mean should be > 0.15
   }
+
+  test("IVF-bucketed ANN recalls a useful fraction of brute-force top-5") {
+    val byName = graft.operators.PipelineQueries.all.map(q => q.name -> q).toMap
+    def topk(name: String): Map[Long, Set[Long]] =
+      byName(name).fn(spark, sfDir).collect()
+        .groupBy(_.getAs[Long]("q_id"))
+        .map { case (q, rows) => q -> rows.map(_.getAs[Long]("v_id")).toSet }
+    val exact = topk("q_cosine_topk")
+    val approx = topk("q_ann_ivf")
+    exact should not be empty
+    val recalls = exact.map { case (q, truth) =>
+      approx.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"IVF mean recall@5 = $mean%.3f over ${recalls.size} queries (nprobe=4/16 cells)")
+    mean should be > 0.15
+  }
 }
