@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join (merge_asof / "most recent prior fact"): each left row
+  * matches the single right row with the greatest `rightTs ≤ leftTs` for
+  * the same key — the canonical event-enrichment operator Spark has no
+  * built-in for.
+  *
+  * Built by COMPOSITION (SURVEY §2.8 X16 preference (a); no custom
+  * physical operator needed): tag both sides, union, and carry the last
+  * non-null right payload forward with a running `last(..., ignoreNulls)`
+  * window ordered by (ts, side) — right rows sort before left rows at
+  * equal timestamps so same-instant facts are visible. One shuffle on the
+  * key, O(n log n) in the partition sort, versus the O(n·m) range join a
+  * naive formulation pays. At 100 TB both sides shuffle once on the key;
+  * per-key event streams sort within partitions.
+  */
+object AsOf {
+
+  /** Inner as-of join. `right` columns (except `key`/`rightTs`) come back
+    * `r_`-prefixed; `rightTs` returns as `r_ts`. Right side should be
+    * unique per (key, ts) — pre-aggregate if not (result would otherwise
+    * depend on tie order, which no engine defines for as-of).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String = "ts", rightTs: String = "ts"): DataFrame = {
+    val rPayload = right.columns.filter(c => c != key && c != rightTs)
+    val rCols = ("r_ts" +: rPayload.map("r_" + _)).toSeq
+    val lCols = left.columns.filterNot(_ == key).toSeq
+
+    val lTagged = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__is_left", lit(1))
+    val lAligned = rCols.foldLeft(lTagged)((df, c) =>
+      df.withColumn(c, lit(null).cast(
+        right.schema(if (c == "r_ts") rightTs else c.stripPrefix("r_"))
+          .dataType)))
+
+    val rTagged = right
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__is_left", lit(0))
+      .withColumn("r_ts", col(rightTs))
+    val rRenamed = rPayload.foldLeft(rTagged)((df, c) =>
+      df.withColumnRenamed(c, "r_" + c))
+    val rAligned = lCols.foldLeft(rRenamed)((df, c) =>
+      df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+
+    val unioned = lAligned.select((key +: "__ts" +: "__is_left" +:
+      (lCols ++ rCols)).map(col): _*)
+      .unionByName(rAligned.select((key +: "__ts" +: "__is_left" +:
+        (lCols ++ rCols)).map(col): _*))
+
+    // right (0) sorts before left (1) at equal ts → r_ts <= leftTs matches
+    val w = Window.partitionBy(key).orderBy(col("__ts"), col("__is_left"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rCols.foldLeft(unioned)((df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+
+    carried.filter(col("__is_left") === 1 && col("r_ts").isNotNull)
+      .drop("__ts", "__is_left")
+  }
+}

@@ -351,6 +351,33 @@ object Relational {
       .orderBy("ws", "event_type")
   }
 
+  /** X5+: as-of join — each purchase matched to the most recent prior (or
+    * same-instant) error of the same user. DuckDB's native ASOF JOIN is
+    * the oracle; the Spark side is [[AsOf.asofJoin]] (union + running
+    * last-non-null window — one key shuffle, no range fan-out). The right
+    * side is pre-deduplicated to one row per (user, ts): as-of tie order
+    * is undefined in every engine. */
+  private val qJoinAsof = Q("q_join_asof",
+    """WITH p AS (SELECT event_id, user_id, ts FROM events
+      |           WHERE event_type = 'purchase'),
+      |err AS (SELECT user_id, ts, MAX(event_id) AS err_id FROM events
+      |        WHERE event_type = 'error' GROUP BY user_id, ts)
+      |SELECT p.event_id, err.err_id AS r_err_id,
+      |  CAST(date_diff('second', err.ts, p.ts) AS BIGINT) AS lag_s
+      |FROM p ASOF JOIN err ON p.user_id = err.user_id AND err.ts <= p.ts
+      |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val errors = ev.filter(col("event_type") === "error")
+      .groupBy("user_id", "ts").agg(max("event_id").as("err_id"))
+    AsOf.asofJoin(purchases, errors, key = "user_id")
+      .select(col("event_id"), col("r_err_id"),
+        (unix_timestamp(col("ts")) - unix_timestamp(col("r_ts")))
+          .as("lag_s"))
+      .orderBy("event_id")
+  }
+
   /** X7: HLL++ approximate distinct — deterministic for a fixed input but
     * not portable to the DuckDB oracle (different sketch), so rows-only
     * here; the ScalaTest suite asserts <5% error vs exact. At 100 TB this
@@ -368,5 +395,5 @@ object Relational {
   val all: Seq[Q] = Seq(qScan, qFilter, qJoinHash, qJoinBroadcast, qJoinOuter,
     qJoinSemi, qJoinAnti, qJoinRange, qGroupbyAgg, qAggRollup, qAggDistinct,
     qWindowRank, qWindowRunsum, qTopk, qUnion, qIntersect, qExcept,
-    qStringDateFns, qJsonExtract, qEventTumble, qAggApprox, qAggCube)
+    qStringDateFns, qJsonExtract, qEventTumble, qAggApprox, qAggCube, qJoinAsof)
 }
