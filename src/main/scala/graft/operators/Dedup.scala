@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components over a candidate-pair graph — the step that turns
+  * pairwise near-dup hits (MinHash/ngram/embedding) into dedup GROUPS:
+  * one canonical document per component, everything else dropped.
+  *
+  * Algorithm: iterative min-label propagation with pointer jumping.
+  * Each node starts as its own component; every round each node takes
+  * the minimum component id among itself and its neighbors, then
+  * path-compresses (comp ← comp(comp)), which collapses chains
+  * exponentially — O(log diameter) rounds instead of O(diameter), the
+  * difference between 6 and 10⁶ rounds on a pathological chain. Per
+  * round: two key-partitioned joins + one min-aggregate; a 100 TB
+  * corpus never sees a driver-side graph. Lineage is truncated per
+  * round (persist/unpersist) exactly like the Bahmani loop.
+  */
+object Dedup {
+
+  /** `edges`: (a, b) undirected candidate pairs (any orientation, dups
+    * fine). Returns (node, comp) with comp = min node id of the
+    * component. Nodes absent from `edges` are their own components —
+    * callers union isolated nodes back if needed. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // symmetrize once; self-loops drop out of the propagation naturally
+    val sym = edges.select(col("a").cast("long").as("src"),
+      col("b").cast("long").as("dst"))
+      .unionAll(edges.select(col("b").cast("long").as("src"),
+        col("a").cast("long").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // localCheckpoint (not persist): persist caches data but keeps the
+    // logical plan growing each round — after ~10 iterations the nested
+    // join plan OOMs the driver just stringifying itself. Checkpointing
+    // cuts lineage to a fresh scan of the materialized blocks.
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // neighbor minimum: comp of dst pulled to src
+      val neighborMin = sym
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(min("comp").as("ncomp"))
+      val prop = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp")))
+            .as("comp"))
+      // pointer jumping: comp <- comp(comp) (comp ids are node ids, so
+      // the lookup is a self-join; labels only ever decrease)
+      val next = prop
+        .join(prop.select(col("node").as("comp"),
+          col("comp").as("jump")), Seq("comp"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("jump"), col("comp")))
+            .as("comp"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("comp", "prev"), "node")
+        .filter(col("comp") =!= col("prev")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** Full dedup resolution: candidate pairs → components → per-document
+    * verdict (keep = the component's minimum doc id). Documents with no
+    * near-dup edge keep themselves. */
+  def resolve(docIds: DataFrame, candidatePairs: DataFrame): DataFrame = {
+    val cc = connectedComponents(candidatePairs)
+    docIds.select(col("doc_id"))
+      .join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("keep_id"))
+      .withColumn("is_canonical", col("doc_id") === col("keep_id"))
+  }
+}

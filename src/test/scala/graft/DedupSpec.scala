@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Connected-components and dedup-resolution semantics on known graphs. */
+class DedupSpec extends SparkSpec {
+
+  test("connected components labels each node with its component minimum") {
+    import spark.implicits._
+    // components: {1,2,3,4} (chain), {10,11} (pair), {20,21,22} (triangle)
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 20L), (22L, 21L)).toDF("a", "b")
+    val cc = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("comp")).toMap
+    cc shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L)
+  }
+
+  test("long chains converge (diameter > a couple of rounds)") {
+    import spark.implicits._
+    val n = 40L
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("a", "b")
+    val cc = Dedup.connectedComponents(edges).collect()
+    cc.length shouldBe n
+    cc.foreach(r => r.getAs[Long]("comp") shouldBe 1L)
+  }
+
+  test("resolve keeps exactly one canonical doc per dup group") {
+    import spark.implicits._
+    val docs = (0L until 10L).toDF("doc_id")
+    val pairs = Seq((1L, 3L), (3L, 5L), (7L, 8L)).toDF("a", "b")
+    val res = Dedup.resolve(docs, pairs)
+    res.count() shouldBe 10
+    // groups: {1,3,5} keep 1; {7,8} keep 7; singletons keep themselves
+    val kept = res.filter(col("is_canonical")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    kept shouldBe Set(0L, 1L, 2L, 4L, 6L, 7L, 9L)
+    res.filter(col("doc_id") === 5L).head().getAs[Long]("keep_id") shouldBe 1L
+  }
+}
