@@ -378,6 +378,45 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** X6+: exact interpolated percentiles per group — Spark `percentile`
+    * and DuckDB `quantile_cont` share the definition; quantized input
+    * keeps the interpolation float-exact. At 100 TB the approximate
+    * sketch (`approx_percentile`) replaces this; the exact form is its
+    * correctness baseline. */
+  private val qPercentile = Q("q_percentile",
+    """SELECT l_returnflag,
+      |  ROUND(quantile_cont(CAST(ROUND(l_extendedprice*100) AS BIGINT), 0.5)/100.0, 6) AS p50,
+      |  ROUND(quantile_cont(CAST(ROUND(l_extendedprice*100) AS BIGINT), 0.95)/100.0, 6) AS p95
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+    (s, d) =>
+      val cents = round(col("l_extendedprice") * 100).cast("long")
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(round(percentile(cents, lit(0.5)) / 100.0, 6).as("p50"),
+          round(percentile(cents, lit(0.95)) / 100.0, 6).as("p95"))
+        .orderBy("l_returnflag")
+  }
+
+  /** X11+: edit-distance similarity — levenshtein is a built-in in both
+    * engines; pairs are bounded by an equi-join on part brand (the
+    * blocking key pattern: never all-pairs). */
+  private val qEditDistance = Q("q_edit_distance",
+    """SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+      |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+      |FROM part a JOIN part b
+      |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      |WHERE levenshtein(a.p_name, b.p_name) <= 3
+      |ORDER BY a_key, b_key""".stripMargin) { (s, d) =>
+    val p = Tables.part(s, d).select("p_partkey", "p_brand", "p_name")
+    p.as("a").join(p.as("b"),
+      col("a.p_brand") === col("b.p_brand") &&
+        col("a.p_partkey") < col("b.p_partkey"))
+      .select(col("a.p_partkey").as("a_key"), col("b.p_partkey").as("b_key"),
+        levenshtein(col("a.p_name"), col("b.p_name")).cast("long").as("dist"))
+      .filter(col("dist") <= 3)
+      .orderBy("a_key", "b_key")
+  }
+
   /** X7: HLL++ approximate distinct — deterministic for a fixed input but
     * not portable to the DuckDB oracle (different sketch), so rows-only
     * here; the ScalaTest suite asserts <5% error vs exact. At 100 TB this
@@ -395,5 +434,6 @@ object Relational {
   val all: Seq[Q] = Seq(qScan, qFilter, qJoinHash, qJoinBroadcast, qJoinOuter,
     qJoinSemi, qJoinAnti, qJoinRange, qGroupbyAgg, qAggRollup, qAggDistinct,
     qWindowRank, qWindowRunsum, qTopk, qUnion, qIntersect, qExcept,
-    qStringDateFns, qJsonExtract, qEventTumble, qAggApprox, qAggCube, qJoinAsof)
+    qStringDateFns, qJsonExtract, qEventTumble, qAggApprox, qAggCube, qJoinAsof,
+    qPercentile, qEditDistance)
 }
