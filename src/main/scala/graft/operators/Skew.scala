@@ -33,4 +33,19 @@ object Skew {
       explode(sequence(lit(0), lit(nSalts - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Two-phase salted SUM/COUNT aggregation: phase 1 aggregates on
+    * (key, salt) — a hot key's rows spread over `nSalts` reducers —
+    * phase 2 merges the per-salt partials on the key alone (tiny input:
+    * ≤ nSalts rows per key). Use when ONE group dominates; Catalyst's
+    * map-side partial aggregation already handles mild skew. Sums are
+    * reassociated only (same addends), so quantized-exact inputs stay
+    * bit-identical. */
+  def saltedSum(df: DataFrame, key: String, valueCol: Column,
+      nSalts: Int, saltSource: Column): DataFrame =
+    df.withColumn("__salt", pmod(xxhash64(saltSource), lit(nSalts)))
+      .groupBy(col(key), col("__salt"))
+      .agg(sum(valueCol).as("__partial"), count(lit(1)).as("__n"))
+      .groupBy(col(key))
+      .agg(sum(col("__partial")).as("sum"), sum(col("__n")).as("n"))
 }

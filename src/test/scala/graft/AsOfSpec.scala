@@ -48,4 +48,31 @@ class AsOfSpec extends SparkSpec {
     row.getAs[Double]("r_score") shouldBe 1.5
     row.getAs[Timestamp]("r_ts") shouldBe t("2024-02-01 00:00:01")
   }
+
+  test("property: as-of equals the brute-force max-prior-ts formulation on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(2468)
+    def randRows(n: Int, tag: String) = (0 until n).map { i =>
+      (s"$tag$i", rnd.nextInt(6).toLong,
+        t(f"2024-03-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00"))
+    }
+    // dedupe right per (key, ts): as-of tie order is undefined otherwise
+    val left = randRows(120, "L").toDF("id", "user_id", "ts")
+    val right = randRows(80, "R").toDF("rid0", "user_id", "ts")
+      .groupBy("user_id", "ts").agg(max("rid0").as("rid"))
+
+    val got = AsOf.asofJoin(left, right, key = "user_id")
+      .select("id", "r_rid").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+
+    // brute force: all priors, keep max ts then max rid
+    val brute = left.join(right.select(col("user_id"),
+        col("ts").as("rts"), col("rid")), Seq("user_id"))
+      .filter(col("rts") <= col("ts"))
+      .groupBy("id")
+      .agg(max_by(col("rid"), struct(col("rts"), col("rid"))).as("rid"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+    got shouldBe brute
+  }
 }

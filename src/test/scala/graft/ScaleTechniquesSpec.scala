@@ -68,4 +68,59 @@ class ScaleTechniquesSpec extends SparkSpec {
       .select("__salt").distinct().count()
     spread should be >= 6L
   }
+
+  test("two-phase salted aggregation equals the direct groupBy on exact integers") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 4000).map { i =>
+      (i.toLong, if (rnd.nextDouble() < 0.7) 1L else rnd.nextInt(10).toLong,
+        rnd.nextInt(1000).toLong)
+    }.toDF("row_id", "k", "v")
+    val direct = rows.groupBy("k")
+      .agg(sum("v").as("sum"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = Skew.saltedSum(rows, "k", col("v"), nSalts = 16,
+      saltSource = col("row_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    salted shouldBe direct
+  }
+
+  test("streaming file sink recovers from checkpoint without loss or duplicates") {
+    import java.nio.file.{Files, Paths}
+    // exactly-once file->file: run a checkpointed query over a growing
+    // source dir, stop it mid-stream, restart with the SAME checkpoint,
+    // and require final output == batch result over all input.
+    val base = Files.createTempDirectory("ckpt_test").toString
+    val srcDir = s"$base/src"; val outDir = s"$base/out"; val ck = s"$base/ck"
+    Files.createDirectories(Paths.get(srcDir))
+    val ev = Tables.events(spark, sfDir).select("event_id", "user_id", "value")
+    val chunks = ev.collect().grouped(400).toSeq
+    def writeChunk(i: Int): Unit =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(chunks(i).toSeq, 1), ev.schema)
+        .write.mode("append").parquet(srcDir)
+
+    def startQuery() = spark.readStream.schema(ev.schema).parquet(srcDir)
+      .withColumn("double_value", col("value") * 2)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ck)
+      .start()
+
+    writeChunk(0)
+    val q1 = startQuery()
+    q1.processAllAvailable(); q1.stop()     // simulate shutdown
+    writeChunk(1)
+    writeChunk(2)
+    val q2 = startQuery()                    // recover from checkpoint
+    q2.processAllAvailable(); q2.stop()
+
+    val got = spark.read.parquet(outDir)
+    got.count() shouldBe chunks.take(3).map(_.length).sum
+    got.select("event_id").distinct().count() shouldBe got.count()
+    val sumGot = got.agg(sum("double_value")).head().getDouble(0)
+    val sumExp = spark.createDataFrame(
+      spark.sparkContext.parallelize(chunks.take(3).flatten.toSeq, 2), ev.schema)
+      .agg(sum(col("value") * 2)).head().getDouble(0)
+    math.abs(sumGot - sumExp) should be < 1e-6
+  }
 }
