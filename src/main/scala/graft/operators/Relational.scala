@@ -398,22 +398,30 @@ object Relational {
   }
 
   /** X11+: edit-distance similarity — levenshtein is a built-in in both
-    * engines; pairs are bounded by an equi-join on part brand (the
-    * blocking key pattern: never all-pairs). */
+    * engines. The blocking-key pattern in miniature: equi-join on brand,
+    * a length-band predicate (|len(a)−len(b)| ≤ k is a levenshtein lower
+    * bound, so it's a pure pushdown), and a deterministic sample — the
+    * synthetic part names are near-clones, so an unscoped run returns
+    * half the pair space. */
   private val qEditDistance = Q("q_edit_distance",
     """SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
       |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
       |FROM part a JOIN part b
       |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-      |WHERE levenshtein(a.p_name, b.p_name) <= 3
+      | AND abs(length(a.p_name) - length(b.p_name)) <= 1
+      |WHERE a.p_brand = 'Brand#11'
+      |  AND a.p_partkey % 4 = 0 AND b.p_partkey % 4 = 0
+      |  AND levenshtein(a.p_name, b.p_name) <= 1
       |ORDER BY a_key, b_key""".stripMargin) { (s, d) =>
     val p = Tables.part(s, d).select("p_partkey", "p_brand", "p_name")
+      .filter(col("p_brand") === "Brand#11" && col("p_partkey") % 4 === 0)
     p.as("a").join(p.as("b"),
       col("a.p_brand") === col("b.p_brand") &&
-        col("a.p_partkey") < col("b.p_partkey"))
+        col("a.p_partkey") < col("b.p_partkey") &&
+        abs(length(col("a.p_name")) - length(col("b.p_name"))) <= 1)
       .select(col("a.p_partkey").as("a_key"), col("b.p_partkey").as("b_key"),
         levenshtein(col("a.p_name"), col("b.p_name")).cast("long").as("dist"))
-      .filter(col("dist") <= 3)
+      .filter(col("dist") <= 1)
       .orderBy("a_key", "b_key")
   }
 
