@@ -42,6 +42,10 @@ object Dedup {
       .localCheckpoint(true)
     var converged = false
     var iter = 0
+    // labels only ever decrease, so Σcomp strictly decreases until the
+    // fixpoint — a one-aggregate convergence probe instead of a
+    // join+diff per round
+    var prevSum = labels.agg(sum("comp")).head().getLong(0)
     while (!converged && iter < maxIter) {
       // neighbor minimum: comp of dst pulled to src
       val neighborMin = sym
@@ -61,10 +65,10 @@ object Dedup {
           least(col("comp"), coalesce(col("jump"), col("comp")))
             .as("comp"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("comp", "prev"), "node")
-        .filter(col("comp") =!= col("prev")).limit(1).count()
+      val curSum = next.agg(sum("comp")).head().getLong(0)
       labels = next
-      converged = changed == 0
+      converged = curSum == prevSum
+      prevSum = curSum
       iter += 1
     }
     sym.unpersist()
