@@ -123,4 +123,21 @@ class ScaleTechniquesSpec extends SparkSpec {
       .agg(sum(col("value") * 2)).head().getDouble(0)
     math.abs(sumGot - sumExp) should be < 1e-6
   }
+
+  test("partitioned parquet write enables partition pruning on read") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("part_tbl").toString + "/li"
+    Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_returnflag", "l_quantity")
+      .write.partitionBy("l_returnflag").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("l_returnflag") === "R")
+    val plan = pruned.queryExecution.executedPlan.toString
+    // the predicate must land in PartitionFilters (directory pruning),
+    // not in the row-level data filters
+    withClue(plan) {
+      plan should include regex "PartitionFilters: \\[.*l_returnflag.*\\]"
+    }
+    pruned.count() shouldBe Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "R").count()
+  }
 }
