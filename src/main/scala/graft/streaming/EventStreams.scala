@@ -138,6 +138,17 @@ object EventStreams {
       "inner")
   }
 
+  /** Streaming exact dedup on event id: state holds one entry per id
+    * seen inside the watermark horizon, so re-deliveries (at-least-once
+    * sources) collapse to exactly-once downstream while state stays
+    * bounded by the horizon — the streaming half of the dedup surface
+    * (batch half: PipelineQueries q_dedup_*). On static frames this is
+    * plain dropDuplicates. */
+  def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    (if (events.isStreaming) events.withWatermark("ts", watermark)
+     else events)
+      .dropDuplicates("event_id")
+
   /** File-source streaming reader over a directory of event parquet —
     * the production entry (`readStream` → transforms → `writeStream`).
     * Schema is pinned (required by streaming sources).

@@ -175,4 +175,31 @@ class StreamingSpec extends SparkSpec {
       got shouldBe batch.collect().map(_.toString).sorted.toSeq
     } finally q.stop()
   }
+
+  test("streaming dedup collapses cross-batch re-deliveries to exactly-once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val name = s"dedup_out_${System.nanoTime()}"
+    val q = EventStreams.dedupEvents(mem.toDF())
+      .select("event_id")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try {
+      val all = asEvents.sortBy(_.ts.getTime).take(600)
+      // every chunk re-delivers the tail of the previous one (the
+      // at-least-once source pattern)
+      val chunks = all.grouped(200).toSeq
+      chunks.zipWithIndex.foreach { case (chunk, i) =>
+        val redelivered = if (i == 0) chunk
+          else chunks(i - 1).takeRight(50) ++ chunk
+        mem.addData(redelivered)
+        q.processAllAvailable()
+      }
+      val got = spark.table(name).collect().map(_.getLong(0))
+      got.length shouldBe all.length            // nothing lost
+      got.distinct.length shouldBe got.length   // nothing duplicated
+      got.toSet shouldBe all.map(_.event_id).toSet
+    } finally q.stop()
+  }
 }
