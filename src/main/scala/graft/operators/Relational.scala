@@ -200,6 +200,38 @@ object Relational {
       .orderBy("rf", "ls")
   }
 
+  /** X6: explicit GROUPING SETS — only the named combinations, unlike
+    * rollup/cube (still one Expand + one aggregate pass). */
+  private val qAggGroupingSets = Q("q_agg_grouping_sets",
+    """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+      |  COALESCE(l_linestatus, 'ALL') AS ls,
+      |  COUNT(*) AS n, ROUND(SUM(l_quantity),6) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+      |ORDER BY rf, ls""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_li_gs")
+    s.sql("""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+            |  COALESCE(l_linestatus, 'ALL') AS ls,
+            |  COUNT(*) AS n, ROUND(SUM(l_quantity),6) AS sum_qty
+            |FROM graft_li_gs
+            |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+            |ORDER BY rf, ls""".stripMargin)
+  }
+
+  /** X7: approximate percentile sketch (positive-indeterministic across
+    * engines → rows-only; the exact q_percentile is its baseline and the
+    * test bounds the error). */
+  private val qApproxPercentile = Q.noOracle("q_approx_percentile") { (s, d) =>
+    val cents = round(col("l_extendedprice") * 100).cast("long")
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(round(approx_percentile(cents, lit(0.5), lit(10000)) / 100.0, 6)
+        .as("p50_approx"),
+        round(approx_percentile(cents, lit(0.95), lit(10000)) / 100.0, 6)
+          .as("p95_approx"))
+      .orderBy("l_returnflag")
+  }
+
   /** Exact distinct aggregation (expand + two-phase agg under the hood). */
   private val qAggDistinct = Q("q_agg_distinct",
     """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_part,
@@ -443,5 +475,5 @@ object Relational {
     qJoinSemi, qJoinAnti, qJoinRange, qGroupbyAgg, qAggRollup, qAggDistinct,
     qWindowRank, qWindowRunsum, qTopk, qUnion, qIntersect, qExcept,
     qStringDateFns, qJsonExtract, qEventTumble, qAggApprox, qAggCube, qJoinAsof,
-    qPercentile, qEditDistance)
+    qPercentile, qEditDistance, qAggGroupingSets, qApproxPercentile)
 }

@@ -117,4 +117,18 @@ class BlockAndPersistenceSpec extends SparkSpec {
       math.abs(approx(k) - e).toDouble / e should be < 0.05
     }
   }
+
+  test("X7: approx_percentile lands within 2% of the exact percentile per group") {
+    def grab(name: String, cols: (String, String)) =
+      SparkEntry.queries(name)(spark, sfDir).collect()
+        .map(r => r.getAs[String]("l_returnflag") ->
+          (r.getAs[Double](cols._1), r.getAs[Double](cols._2))).toMap
+    val exact = grab("q_percentile", ("p50", "p95"))
+    val approx = grab("q_approx_percentile", ("p50_approx", "p95_approx"))
+    approx.keySet shouldBe exact.keySet
+    exact.foreach { case (k, (p50, p95)) =>
+      math.abs(approx(k)._1 - p50) / p50 should be < 0.02
+      math.abs(approx(k)._2 - p95) / p95 should be < 0.02
+    }
+  }
 }
