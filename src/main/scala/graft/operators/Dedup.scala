@@ -25,11 +25,15 @@ object Dedup {
     * component. Nodes absent from `edges` are their own components —
     * callers union isolated nodes back if needed. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    // symmetrize once; self-loops drop out of the propagation naturally
-    val sym = edges.select(col("a").cast("long").as("src"),
-      col("b").cast("long").as("dst"))
-      .unionAll(edges.select(col("b").cast("long").as("src"),
-        col("a").cast("long").as("dst")))
+    // symmetrize in ONE pass over `edges` (explode both orientations —
+    // a unionAll of two selects would evaluate the candidate-pair
+    // pipeline upstream twice); self-loops drop out of the propagation
+    val sym = edges
+      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      .select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -37,15 +41,22 @@ object Dedup {
     // logical plan growing each round — after ~10 iterations the nested
     // join plan OOMs the driver just stringifying itself. Checkpointing
     // cuts lineage to a fresh scan of the materialized blocks.
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("comp", col("node"))
+    // Seed comp = min(node, min neighbor): one aggregate over sym does
+    // the work of a whole propagation round for free — near-dup
+    // components are tiny, so most converge in the seed itself.
+    var labels = sym.groupBy("src")
+      .agg(least(col("src"), min("dst")).as("comp"))
+      .withColumnRenamed("src", "node")
       .localCheckpoint(true)
     var converged = false
     var iter = 0
     // labels only ever decrease, so Σcomp strictly decreases until the
     // fixpoint — a one-aggregate convergence probe instead of a
-    // join+diff per round
-    var prevSum = labels.agg(sum("comp")).head().getLong(0)
+    // join+diff per round. coalesce(…, 0): sum over ZERO rows is null
+    // (empty edge set — a corpus with no candidate pairs is legal).
+    def compSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("comp"), lit(0L))).head().getLong(0)
+    var prevSum = compSum(labels)
     while (!converged && iter < maxIter) {
       // neighbor minimum: comp of dst pulled to src
       val neighborMin = sym
@@ -65,7 +76,7 @@ object Dedup {
           least(col("comp"), coalesce(col("jump"), col("comp")))
             .as("comp"))
         .localCheckpoint(true)
-      val curSum = next.agg(sum("comp")).head().getLong(0)
+      val curSum = compSum(next)
       labels = next
       converged = curSum == prevSum
       prevSum = curSum

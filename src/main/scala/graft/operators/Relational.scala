@@ -128,17 +128,30 @@ object Relational {
       .orderBy("c_custkey")
   }
 
-  /** Range (theta) self-join: events within 5 minutes per user. Equi on
-    * user_id bounds the blow-up; the time predicate is post-join. */
+  /** Range (theta) self-join: events within 5 minutes per user, blocked
+    * by time bucket. A user_id-only equi-join is quadratic in each user's
+    * event count before the time filter — one hot user blows it up. Here
+    * the join key is (user_id, 5-min bucket) with the a-side exploded to
+    * bucket and bucket+1: any pair with 0 < ts_b − ts_a ≤ 5 min has
+    * floor(ts_b/300) ∈ {floor(ts_a/300), floor(ts_a/300)+1}, and since
+    * each b-row keeps its single bucket, every qualifying pair matches
+    * EXACTLY one exploded copy (no dedup needed). Candidates shrink from
+    * O(per-user²) to adjacent 5-min windows — the same bound watermarks
+    * give the streaming interval join. */
   private val qJoinRange = Q("q_join_range",
     """SELECT a.user_id AS user_id, COUNT(*) AS n_pairs
       |FROM events a JOIN events b
       |  ON a.user_id = b.user_id AND b.ts > a.ts
       | AND b.ts <= a.ts + INTERVAL 5 MINUTE
       |GROUP BY a.user_id ORDER BY user_id""".stripMargin) { (s, d) =>
-    val a = Tables.events(s, d).select(col("user_id"), col("ts").as("ts_a"))
-    val b = Tables.events(s, d).select(col("user_id"), col("ts").as("ts_b"))
-    a.join(b, Seq("user_id"))
+    val ev = Tables.events(s, d)
+    val a = ev.select(col("user_id"), col("ts").as("ts_a"),
+      floor(unix_timestamp(col("ts")) / 300).as("b0"))
+      .select(col("user_id"), col("ts_a"),
+        explode(array(col("b0"), col("b0") + 1)).as("bucket"))
+    val b = ev.select(col("user_id"), col("ts").as("ts_b"),
+      floor(unix_timestamp(col("ts")) / 300).as("bucket"))
+    a.join(b, Seq("user_id", "bucket"))
       .filter(col("ts_b") > col("ts_a") &&
         col("ts_b") <= col("ts_a") + expr("INTERVAL 5 MINUTES"))
       .groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
@@ -441,12 +454,11 @@ object Relational {
       |FROM part a JOIN part b
       |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
       | AND abs(length(a.p_name) - length(b.p_name)) <= 1
-      |WHERE a.p_brand = 'Brand#11'
-      |  AND a.p_partkey % 4 = 0 AND b.p_partkey % 4 = 0
+      |WHERE a.p_partkey % 2 = 0 AND b.p_partkey % 2 = 0
       |  AND levenshtein(a.p_name, b.p_name) <= 1
       |ORDER BY a_key, b_key""".stripMargin) { (s, d) =>
     val p = Tables.part(s, d).select("p_partkey", "p_brand", "p_name")
-      .filter(col("p_brand") === "Brand#11" && col("p_partkey") % 4 === 0)
+      .filter(col("p_partkey") % 2 === 0)
     p.as("a").join(p.as("b"),
       col("a.p_brand") === col("b.p_brand") &&
         col("a.p_partkey") < col("b.p_partkey") &&

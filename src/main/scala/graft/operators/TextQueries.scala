@@ -3,8 +3,9 @@ package graft.operators
 import graft.{Q, Tables}
 import graft.functions.TextFns
 import graft.ml.TWCNB
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** The reference's text/NLP classifier pipeline (SURVEY.md §2.6 N1–N7 +
   * S3 dictionary load) as declared queries over `documents`.
@@ -12,6 +13,21 @@ import org.apache.spark.sql.functions._
 object TextQueries {
 
   private val tokSql = TextFns.tokSql
+
+  /** Distributed dense ids in ascending `term` order: range-partitioned
+    * sort + RDD `zipWithIndex` (one count job to learn partition offsets,
+    * then a narrow map). Replaces `row_number() OVER (ORDER BY term)`,
+    * whose empty partitionBy funnels the ENTIRE dictionary through one
+    * task — a single-task sort over billions of terms at corpus scale.
+    * Deterministic: terms are distinct, so the sort order is total. */
+  private def withTermIdx(df: DataFrame): DataFrame = {
+    val sorted = df.orderBy("term")
+    val schema = StructType(sorted.schema.fields :+
+      StructField("idx", LongType, nullable = false))
+    sorted.sparkSession.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+      schema)
+  }
 
   /** N1: regex unigram tokenizer (NaiveBayesServlet.scala:80-82). */
   private val qTokenize = Q("q_tokenize",
@@ -41,10 +57,8 @@ object TextQueries {
        |d AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tokf GROUP BY term)
        |SELECT term, CAST(row_number() OVER (ORDER BY term) - 1 AS BIGINT) AS idx,
        |  df FROM d ORDER BY term""".stripMargin) { (s, d) =>
-    TextFns.tokens(Tables.documents(s, d))
-      .groupBy("term").agg(countDistinct("doc_id").as("df"))
-      .withColumn("idx",
-        (row_number().over(Window.orderBy("term")) - 1).cast("long"))
+    withTermIdx(TextFns.tokens(Tables.documents(s, d))
+      .groupBy("term").agg(countDistinct("doc_id").as("df")))
       .select("term", "idx", "df")
       .orderBy("term")
   }
@@ -61,10 +75,8 @@ object TextQueries {
        |ORDER BY doc_id, idx""".stripMargin) { (s, d) =>
     val tf = TextFns.tokens(Tables.documents(s, d))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dict = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 5)
-      .withColumn("idx",
-        (row_number().over(Window.orderBy("term")) - 1).cast("long"))
+    val dict = withTermIdx(
+      tf.groupBy("term").agg(count(lit(1)).as("df")).filter(col("df") >= 5))
     tf.join(broadcast(dict.select("term", "idx")), "term")
       .select("doc_id", "idx", "tf")
       .orderBy("doc_id", "idx")

@@ -26,6 +26,19 @@ class DedupSpec extends SparkSpec {
     cc.foreach(r => r.getAs[Long]("comp") shouldBe 1L)
   }
 
+  test("empty edge set: no labels, every doc canonical (no NPE on null sum)") {
+    import spark.implicits._
+    val edges = Seq.empty[(Long, Long)].toDF("a", "b")
+    Dedup.connectedComponents(edges).count() shouldBe 0L
+    val docs = (0L until 5L).toDF("doc_id")
+    val res = Dedup.resolve(docs, edges).collect()
+    res.length shouldBe 5
+    res.foreach { r =>
+      r.getAs[Long]("keep_id") shouldBe r.getAs[Long]("doc_id")
+      r.getAs[Boolean]("is_canonical") shouldBe true
+    }
+  }
+
   test("resolve keeps exactly one canonical doc per dup group") {
     import spark.implicits._
     val docs = (0L until 10L).toDF("doc_id")

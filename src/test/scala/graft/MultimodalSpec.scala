@@ -71,6 +71,36 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("ImageIO codec decodes a real PNG byte-exactly through the Dataset kernel") {
+    import spark.implicits._
+    // paint a known 5x4 RGB pattern, encode it as a REAL png payload
+    val (w, h) = (5, 4)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (x * 40 << 16) | (y * 60 << 8) | (x + y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val asset = Multimodal.Asset(100L, "image", bos.toByteArray,
+      Multimodal.AssetMeta(w, h, 3, 0, 1, "image/png"))
+
+    val decoded = Multimodal.decode(Seq(asset).toDS()).head()
+    decoded.width shouldBe w
+    decoded.height shouldBe h
+    decoded.channels shouldBe 3
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      (decoded.pixels(o) & 0xff) shouldBe x * 40
+      (decoded.pixels(o + 1) & 0xff) shouldBe y * 60
+      (decoded.pixels(o + 2) & 0xff) shouldBe x + y
+    }
+    // the real decode feeds the same downstream kernels as the fake one
+    val feats = Multimodal.imageFeatures(
+      Multimodal.resize(Multimodal.decode(Seq(asset).toDS()), 2, 2)).head()
+    feats.mean_rgb.length shouldBe 3
+    math.abs(feats.histogram.sum - 1.0) should be < 1e-9
+  }
+
   test("kernels are narrow: no shuffle in the decode->resize->features plan") {
     val plan = Multimodal.featureFrame(
       Multimodal.imageFeatures(

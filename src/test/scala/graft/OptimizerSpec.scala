@@ -57,6 +57,39 @@ class OptimizerSpec extends SparkSpec {
     }
   }
 
+  test("Elkan center-center pruning: identical to brute force, strictly fewer distance evals") {
+    val rnd = new scala.util.Random(99)
+    val dim = 16
+    val k = 40
+    // clustered centers: the triangle-inequality (CDsq) bound should
+    // eliminate most far centers once a nearby best is found
+    val centers = Array.tabulate(k)(c =>
+      Array.tabulate(dim)(j =>
+        rnd.nextGaussian() * 0.5 + (if (j == c % dim) 8.0 * (c / dim + 1) else 0.0)))
+    val idx = Bahmani.centerIndex(centers)
+    val pts = Array.fill(600) {
+      val c = centers(rnd.nextInt(k))
+      Array.tabulate(dim)(j => c(j) + rnd.nextGaussian() * 0.3)
+    }
+    var evals = 0L
+    for (p <- pts) {
+      val (bi, bd, e) = Bahmani.nearestCounted(p, idx)
+      // brute force ground truth (strict <, lowest index wins ties)
+      var bb = 0
+      var bbd = Double.MaxValue
+      for (c <- centers.indices) {
+        val dd = centers(c).zip(p).map { case (a, b) => (a - b) * (a - b) }.sum
+        if (dd < bbd) { bbd = dd; bb = c }
+      }
+      bi shouldBe bb
+      bd shouldBe bbd +- 1e-9
+      evals += e
+    }
+    val frac = evals.toDouble / (pts.length.toLong * k)
+    info(f"evaluated $evals of ${pts.length * k} distances (${frac * 100}%.1f%%)")
+    frac should be < 0.5 // pruning must actually bite
+  }
+
   test("Bahmani sketch beats the single-seed baseline and is cost-competitive with MLlib k-means||") {
     val pts = Bahmani.embeddingPoints(spark, sfDir).cache()
     val k = 8
