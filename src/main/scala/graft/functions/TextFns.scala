@@ -38,8 +38,9 @@ object TextFns {
       .select(col("doc_id"), col("lang"), col("term"),
         (col("pos0") + 1).cast("long").as("pos"))
 
-  /** k-token shingles via lead() windows (1 shuffle on doc_id; at scale
-    * tokenize+shingle fuse into the same stage as the downstream minhash). */
+  /** k-token shingles via lead() windows (1 shuffle on doc_id). Kept as
+    * the differential baseline for [[shinglesOf]]; production chains use
+    * the narrow form. */
   def shingles(toks: DataFrame, k: Int = 3): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
@@ -47,6 +48,26 @@ object TextFns {
       concat(acc, lit(" "), lead(col("term"), off).over(w))
     }
     toks.select(col("doc_id"), sh.as("sh")).filter(col("sh").isNotNull)
+  }
+
+  /** k-token shingles computed NARROW, straight off `documents`: the
+    * token array never explodes, consecutive k-grams come from
+    * `transform` over array offsets, so tokenize→shingle is zero-shuffle
+    * and fuses into the scan stage — the window formulation above costs a
+    * full shuffle+sort of every token in the corpus just to see its
+    * neighbors, which at 100 TB is the single largest exchange of the
+    * whole dedup chain. Same output set as [[shingles]] (asserted in
+    * DedupSpec). */
+  def shinglesOf(docs: DataFrame, k: Int = 3): DataFrame = {
+    val arr = filter(split(normalize(col("text")), " "),
+      t => length(t) > 0)
+    // docs shorter than k tokens: the `when` leaves a null array and
+    // explode emits no rows (sequence(1, n<1) would run backwards)
+    val n = size(col("a")) - (k - 1)
+    val grams = when(n >= 1, transform(sequence(lit(1), n),
+      i => concat_ws(" ", (0 until k).map(o => element_at(col("a"), i + o)): _*)))
+    docs.select(col("doc_id"), arr.as("a"))
+      .select(col("doc_id"), explode(grams).as("sh"))
   }
 
   /** Cosine similarity between two ARRAY<DOUBLE> columns via the native

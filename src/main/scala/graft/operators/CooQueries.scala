@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.functions.GramAggregator
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import CooViews._
 
@@ -297,10 +296,15 @@ object CooQueries {
       |        (SELECT CAST(COUNT(*) AS DOUBLE) FROM embeddings), 6) AS frac
       |FROM embeddings GROUP BY label ORDER BY label""".stripMargin) {
     (s, d) =>
-      Tables.embeddings(s, d)
+      // total via broadcast cross join, not an unpartitioned window —
+      // same plan shape the 100 TB form needs (the histogram itself is
+      // only k rows, but no single-partition WindowExec anywhere)
+      val counts = Tables.embeddings(s, d)
         .groupBy("label").agg(count(lit(1)).as("n"))
-        .withColumn("frac",
-          round(col("n") / sum("n").over(Window.partitionBy()), 6))
+      val total = Tables.embeddings(s, d)
+        .agg(count(lit(1)).cast("double").as("tot"))
+      counts.crossJoin(broadcast(total))
+        .select(col("label"), col("n"), round(col("n") / col("tot"), 6).as("frac"))
         .orderBy("label")
   }
 

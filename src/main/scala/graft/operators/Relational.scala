@@ -459,10 +459,18 @@ object Relational {
       |ORDER BY a_key, b_key""".stripMargin) { (s, d) =>
     val p = Tables.part(s, d).select("p_partkey", "p_brand", "p_name")
       .filter(col("p_partkey") % 2 === 0)
+    // Cheap implied prefilter (NOT in the oracle — redundant given
+    // dist ≤ 1): any single edit on strings of length ≥ 2 preserves the
+    // first or the last character, so requiring one of them equal prunes
+    // most candidate pairs before the O(len²) levenshtein runs.
+    val endsMatch =
+      substring(col("a.p_name"), 1, 1) === substring(col("b.p_name"), 1, 1) ||
+        substring(col("a.p_name"), -1, 1) === substring(col("b.p_name"), -1, 1)
     p.as("a").join(p.as("b"),
       col("a.p_brand") === col("b.p_brand") &&
         col("a.p_partkey") < col("b.p_partkey") &&
-        abs(length(col("a.p_name")) - length(col("b.p_name"))) <= 1)
+        abs(length(col("a.p_name")) - length(col("b.p_name"))) <= 1 &&
+        endsMatch)
       .select(col("a.p_partkey").as("a_key"), col("b.p_partkey").as("b_key"),
         levenshtein(col("a.p_name"), col("b.p_name")).cast("long").as("dist"))
       .filter(col("dist") <= 1)

@@ -49,6 +49,24 @@ class AsOfSpec extends SparkSpec {
     row.getAs[Timestamp]("r_ts") shouldBe t("2024-02-01 00:00:01")
   }
 
+  test("null right payload values do not stitch columns from different right rows") {
+    import spark.implicits._
+    // Newest prior right row has amount = null: the joined row must carry
+    // THAT row's (null) amount, not resurrect the older row's 100.0 —
+    // the failure mode of carrying each r_ column in its own
+    // last(ignoreNulls) window.
+    val left = Seq((1L, t("2024-01-01 12:00:00"), "p"))
+      .toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, t("2024-01-01 10:00:00"), Some(100.0), "old"),
+      (1L, t("2024-01-01 11:00:00"), None: Option[Double], "new")
+    ).toDF("user_id", "ts", "amount", "label")
+    val row = AsOf.asofJoin(left, right, key = "user_id").head()
+    row.getAs[Timestamp]("r_ts") shouldBe t("2024-01-01 11:00:00")
+    row.getAs[String]("r_label") shouldBe "new"
+    row.isNullAt(row.fieldIndex("r_amount")) shouldBe true
+  }
+
   test("property: as-of equals the brute-force max-prior-ts formulation on random data") {
     import spark.implicits._
     val rnd = new scala.util.Random(2468)

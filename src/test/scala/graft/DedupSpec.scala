@@ -39,6 +39,18 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("narrow shinglesOf equals the window-based shingles, with no Exchange") {
+    import graft.functions.TextFns
+    val docs = Tables.documents(spark, sfDir)
+    def sets(df: org.apache.spark.sql.DataFrame) =
+      df.distinct().collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("sh"))).toSet
+    val narrow = TextFns.shinglesOf(docs)
+    sets(narrow) shouldBe sets(TextFns.shingles(TextFns.tokens(docs)))
+    // the whole point: tokenize→shingle must not shuffle
+    narrow.queryExecution.executedPlan.toString should not include "Exchange"
+  }
+
   test("resolve keeps exactly one canonical doc per dup group") {
     import spark.implicits._
     val docs = (0L until 10L).toDF("doc_id")

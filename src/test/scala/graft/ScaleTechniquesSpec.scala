@@ -10,6 +10,25 @@ import org.apache.spark.sql.functions._
   */
 class ScaleTechniquesSpec extends SparkSpec {
 
+  test("dictionary id assignment plans contain no single-partition Window") {
+    // row_number() OVER (ORDER BY term) with no partitionBy funnels the
+    // whole vocabulary through one task; the zipWithIndex formulation
+    // must keep Window out of the physical plan entirely.
+    val byName = graft.operators.TextQueries.all.map(q => q.name -> q).toMap
+    for (n <- Seq("q_dict_load", "q_dict_vectorize")) {
+      val plan = byName(n).fn(spark, sfDir).queryExecution.executedPlan.toString
+      withClue(s"$n plan:") { plan should not include "Window" }
+    }
+  }
+
+  test("range join blocks on (user_id, time bucket), not user_id alone") {
+    val byName = graft.operators.Relational.all.map(q => q.name -> q).toMap
+    val plan = byName("q_join_range").fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the equi-join keys must include the derived bucket column
+    plan.toLowerCase should include ("bucket")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // (warehouse dir is a static conf — managed tables land in the
     // default ./spark-warehouse, dropped below and gitignored)
