@@ -25,7 +25,7 @@ object TextQueries {
     val schema = StructType(sorted.schema.fields :+
       StructField("idx", LongType, nullable = false))
     sorted.sparkSession.createDataFrame(
-      sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+      sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
       schema)
   }
 
