@@ -472,8 +472,12 @@ object Relational {
         abs(length(col("a.p_name")) - length(col("b.p_name"))) <= 1 &&
         endsMatch)
       .select(col("a.p_partkey").as("a_key"), col("b.p_partkey").as("b_key"),
-        levenshtein(col("a.p_name"), col("b.p_name")).cast("long").as("dist"))
-      .filter(col("dist") <= 1)
+        // bounded variant: O(len·k) banded DP instead of the full O(len²)
+        // matrix; returns -1 above the threshold, exact values below it,
+        // so the declared dist column is unchanged for surviving rows
+        levenshtein(col("a.p_name"), col("b.p_name"), 2).cast("long")
+          .as("dist"))
+      .filter(col("dist").between(0, 1))
       .orderBy("a_key", "b_key")
   }
 
