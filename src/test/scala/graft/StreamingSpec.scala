@@ -143,6 +143,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static broadcast enrichment == batch join, append mode, no state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = staticEvents.select("user_id").distinct()
+      .withColumn("tier",
+        when(col("user_id") % 3 === 0, "gold").otherwise("std"))
+    val batch = EventStreams.enrich(staticEvents, dim, "user_id")
+      .select("event_id", "user_id", "tier")
+
+    val mem = MemoryStream[Event]
+    val name = s"enrich_out_${System.nanoTime()}"
+    val q = EventStreams.enrich(mem.toDF(), dim, "user_id")
+      .select("event_id", "user_id", "tier")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try {
+      val all = asEvents
+      all.grouped(math.max(1, all.size / 5)).foreach { b =>
+        mem.addData(b); q.processAllAvailable()
+      }
+      canon(spark.table(name)) shouldBe canon(batch)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join == static range join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
