@@ -481,6 +481,45 @@ object Relational {
       .orderBy("a_key", "b_key")
   }
 
+  /** Skew path, oracle-checked: the salted fact-fact join must produce
+    * EXACTLY the plain join's result — the salt only respreads rows
+    * (each fact row meets each matching build row once, on the
+    * (key, salt) composite). Oracle is the unsalted SQL. */
+  private val qJoinSalted = Q("q_join_salted",
+    """SELECT o_orderpriority, COUNT(*) AS n_items,
+      |  ROUND(SUM(l_quantity),6) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) {
+    (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+      Skew.saltedJoin(li, Tables.orders(s, d), key = "o_orderkey",
+        nSalts = 8,
+        saltSource = col("o_orderkey") * 8 + col("l_linenumber"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum("l_quantity"), 6).as("sum_qty"))
+        .orderBy("o_orderpriority")
+  }
+
+  /** Skew path, oracle-checked: two-phase salted aggregation ==
+    * direct group-by (sums reassociate over quantized integers, so the
+    * equality is bit-exact). */
+  private val qSaltedAgg = Q("q_salted_agg",
+    """SELECT l_returnflag,
+      |  ROUND(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT))/100.0, 2) AS total,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+    (s, d) =>
+      Skew.saltedSum(Tables.lineitem(s, d), key = "l_returnflag",
+        valueCol = round(col("l_extendedprice") * 100).cast("long"),
+        nSalts = 16,
+        saltSource = col("l_orderkey") * 8 + col("l_linenumber"))
+        .select(col("l_returnflag"),
+          round(col("sum") / 100.0, 2).as("total"), col("n"))
+        .orderBy("l_returnflag")
+  }
+
   /** X7: HLL++ approximate distinct — deterministic for a fixed input but
     * not portable to the DuckDB oracle (different sketch), so rows-only
     * here; the ScalaTest suite asserts <5% error vs exact. At 100 TB this
@@ -499,5 +538,6 @@ object Relational {
     qJoinSemi, qJoinAnti, qJoinRange, qGroupbyAgg, qAggRollup, qAggDistinct,
     qWindowRank, qWindowRunsum, qTopk, qUnion, qIntersect, qExcept,
     qStringDateFns, qJsonExtract, qEventTumble, qAggApprox, qAggCube, qJoinAsof,
-    qPercentile, qEditDistance, qAggGroupingSets, qApproxPercentile)
+    qPercentile, qEditDistance, qAggGroupingSets, qApproxPercentile,
+    qJoinSalted, qSaltedAgg)
 }
