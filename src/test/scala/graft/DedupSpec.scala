@@ -39,6 +39,32 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("property: components equal in-core union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4321)
+    for (_ <- 1 to 3) {
+      val n = 60
+      val edges = Seq.fill(80)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val touched = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val compMin = touched.groupBy(v => find(v.toInt))
+        .flatMap { case (_, mem) => mem.map(_ -> mem.min) }
+      val got = Dedup.connectedComponents(edges.toDF("a", "b")).collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("comp")).toMap
+      got shouldBe compMin
+    }
+  }
+
   test("narrow shinglesOf equals the window-based shingles, with no Exchange") {
     import graft.functions.TextFns
     val docs = Tables.documents(spark, sfDir)
