@@ -43,11 +43,7 @@ object CooQueries {
        |SELECT a.j AS i, b.j AS j, ROUND(SUM(a.v * b.v) / 10000.0, 6) AS v
        |FROM cooX a JOIN cooX b ON a.i = b.i
        |GROUP BY 1, 2 ORDER BY i, j""".stripMargin) { (s, d) =>
-    val cells = gramCells(s, d).map { case (p, q, v) =>
-      (p, q, BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-        .toDouble)
-    }
-    s.createDataFrame(cells).toDF("i", "j", "v").orderBy("i", "j")
+    s.createDataFrame(gramCells(s, d)).toDF("i", "j", "v").orderBy("i", "j")
   }
 
   /** X16/A3: same Gram via the one-pass typed Aggregator (no n·k² shuffle;
@@ -59,36 +55,47 @@ object CooQueries {
     * sums per-row outer products map-side. One k-wide shuffle of |rows|,
     * versus the self-join's |cells|² /|rows| joined pairs — the 100 TB
     * physical form of Xᵀ X. */
-  private def gramOnePass(s: org.apache.spark.sql.SparkSession, d: String)
-      : Array[Double] = {
-    import s.implicits._
-    val rows = Tables.lineitem(s, d)
+  private def gramRows(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.lineitem(s, d)
       .groupBy(expr("l_orderkey*8 + l_linenumber").as("i"))
       .agg(sum(lit(100.0)).as("f0"),
         sum(expr("ROUND(l_quantity*100)")).as("f1"),
         sum(expr("ROUND(l_discount*100)")).as("f2"),
         sum(expr("ROUND(l_tax*100)")).as("f3"))
       .select(array(col("f0"), col("f1"), col("f2"), col("f3")).as("vec"))
-      .as[Array[Double]]
-    rows.select(new GramAggregator(4).toColumn.name("g")).head()
+
+  private def gramOnePass(s: org.apache.spark.sql.SparkSession, d: String)
+      : Array[Double] = {
+    import s.implicits._
+    gramRows(s, d).as[Array[Double]]
+      .select(new GramAggregator(4).toColumn.name("g")).head()
   }
 
-  private def gramCells(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val g = gramOnePass(s, d)
+  private def toGramCells(g: Seq[Double]) =
     for (p <- 0 until 4; q <- 0 until 4)
-      yield (p.toLong, q.toLong, g(p * 4 + q) / 10000.0)
-  }
+      yield (p.toLong, q.toLong,
+        BigDecimal(g(p * 4 + q) / 10000.0)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
 
+  private def gramCells(s: org.apache.spark.sql.SparkSession, d: String) =
+    toGramCells(gramOnePass(s, d))
+
+  /** X16: the SAME one-pass Aggregator, exercised through the untyped
+    * UDAF registration surface — `functions.udaf` + SQL text — rather
+    * than the typed Column API q_gram uses. Same oracle; distinct API
+    * path (SQL-callable, as a user of the library would register it). */
   private val qUdafGram = Q("q_udaf_gram",
     s"""WITH $cooXSql
        |SELECT a.j AS i, b.j AS j, ROUND(SUM(a.v * b.v) / 10000.0, 6) AS v
        |FROM cooX a JOIN cooX b ON a.i = b.i
        |GROUP BY 1, 2 ORDER BY i, j""".stripMargin) { (s, d) =>
-    val cells = gramCells(s, d).map { case (p, q, v) =>
-      (p, q, BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-        .toDouble)
-    }
-    s.createDataFrame(cells).toDF("i", "j", "v").orderBy("i", "j")
+    import s.implicits._
+    s.udf.register("graft_gram",
+      org.apache.spark.sql.functions.udaf(new GramAggregator(4)))
+    gramRows(s, d).createOrReplaceTempView("graft_gram_rows")
+    val g = s.sql("SELECT graft_gram(vec) AS g FROM graft_gram_rows")
+      .head().getSeq[Double](0)
+    s.createDataFrame(toGramCells(g)).toDF("i", "j", "v").orderBy("i", "j")
   }
 
   /** A4: matrix × broadcast vector. */
