@@ -57,7 +57,9 @@ object TextFns {
     * full shuffle+sort of every token in the corpus just to see its
     * neighbors, which at 100 TB is the single largest exchange of the
     * whole dedup chain. Same output set as [[shingles]] (asserted in
-    * DedupSpec). */
+    * DedupSpec). Peak per-row memory is the document's full shingle array
+    * (O(tokens·k·token_len)) before explode — bounded for web-scale docs
+    * (MBs); split pathological multi-hundred-MB documents upstream. */
   def shinglesOf(docs: DataFrame, k: Int = 3): DataFrame = {
     val arr = filter(split(normalize(col("text")), " "),
       t => length(t) > 0)

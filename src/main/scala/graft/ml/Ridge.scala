@@ -81,7 +81,11 @@ object Ridge {
     val beta = reg \ b
     val gramInv = breeze.linalg.inv(reg)
 
-    val ssr = yy - 2.0 * (beta dot b) + (beta dot (g * beta))
+    // clamp: the algebraic form is a cancellation of large terms, so a
+    // noiseless/collinear fit (true SSR = 0) can land epsilon-negative in
+    // double — the residual-pass formulation it replaces was non-negative
+    // by construction, and sigma2/se/p-values need that invariant
+    val ssr = math.max(0.0, yy - 2.0 * (beta dot b) + (beta dot (g * beta)))
     Fit(beta, gramInv, n, ssr)
   }
 

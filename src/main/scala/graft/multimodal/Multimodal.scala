@@ -69,10 +69,18 @@ object Multimodal {
   }
 
   /** Mime-dispatched decode: real ImageIO for encoded images, the
-    * deterministic fake for the synthetic "fake"-mime corpus. */
+    * deterministic fake for the synthetic "fake"-mime corpus. Throws on
+    * an undecodable payload — use [[decodeSafe]] on untrusted corpora. */
   def decodeAsset(a: Asset): DecodedImage =
     if (a.meta.mime.endsWith("/fake")) FakeCodec.decode(a)
     else ImageIoCodec.decode(a)
+
+  /** Skip-and-continue decode: None for payloads the codec rejects
+    * (truncated download, unsupported color space, corrupt bytes). At
+    * corpus scale ONE bad record must not abort the job — Spark retries a
+    * deterministic per-row failure forever; quarantine instead. */
+  def decodeAssetSafe(a: Asset): Option[DecodedImage] =
+    try Some(decodeAsset(a)) catch { case scala.util.control.NonFatal(_) => None }
 
   /** STUB decoder — deterministic fake pixels in place of a real codec.
     * Pixel (y,x,c) = byte mixed from the payload hash, so decode is
@@ -121,6 +129,13 @@ object Multimodal {
   def decode(assets: Dataset[Asset]): Dataset[DecodedImage] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions(_.map(decodeAsset))
+  }
+
+  /** Production variant of [[decode]]: undecodable assets are dropped
+    * (still narrow — flatMap over the Option). */
+  def decodeSafe(assets: Dataset[Asset]): Dataset[DecodedImage] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.flatMap(decodeAssetSafe))
   }
 
   /** Nearest-neighbor resize — real resampling arithmetic over the decoded

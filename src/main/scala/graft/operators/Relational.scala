@@ -462,10 +462,14 @@ object Relational {
     // Cheap implied prefilter (NOT in the oracle — redundant given
     // dist ≤ 1): any single edit on strings of length ≥ 2 preserves the
     // first or the last character, so requiring one of them equal prunes
-    // most candidate pairs before the O(len²) levenshtein runs.
+    // most candidate pairs before the O(len·k) levenshtein runs. The
+    // implication fails only for length ≤ 1 names ('a' vs 'b'), so those
+    // bypass the prune — keeps the operator equivalent to its oracle on
+    // ANY data, not just long TPC-H part names.
     val endsMatch =
       substring(col("a.p_name"), 1, 1) === substring(col("b.p_name"), 1, 1) ||
-        substring(col("a.p_name"), -1, 1) === substring(col("b.p_name"), -1, 1)
+        substring(col("a.p_name"), -1, 1) === substring(col("b.p_name"), -1, 1) ||
+        length(col("a.p_name")) <= 1 || length(col("b.p_name")) <= 1
     p.as("a").join(p.as("b"),
       col("a.p_brand") === col("b.p_brand") &&
         col("a.p_partkey") < col("b.p_partkey") &&

@@ -101,6 +101,24 @@ class MultimodalSpec extends SparkSpec {
     math.abs(feats.histogram.sum - 1.0) should be < 1e-9
   }
 
+  test("decodeSafe drops corrupt payloads and keeps decodable ones") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(3, 3,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val good = Multimodal.Asset(1L, "image", bos.toByteArray,
+      Multimodal.AssetMeta(3, 3, 3, 0, 1, "image/png"))
+    val corrupt = Multimodal.Asset(2L, "image",
+      Array.fill[Byte](64)(0x7f), // not any image format
+      Multimodal.AssetMeta(3, 3, 3, 0, 1, "image/png"))
+    val out = Multimodal.decodeSafe(Seq(good, corrupt).toDS()).collect()
+    out.map(_.asset_id).toSeq shouldBe Seq(1L)
+    // the strict path must fail loudly on the same corpus
+    an[Exception] should be thrownBy
+      Multimodal.decode(Seq(corrupt).toDS()).collect()
+  }
+
   test("kernels are narrow: no shuffle in the decode->resize->features plan") {
     val plan = Multimodal.featureFrame(
       Multimodal.imageFeatures(

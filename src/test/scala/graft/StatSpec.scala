@@ -30,6 +30,24 @@ class StatSpec extends SparkSpec {
     Stat.tTestPValue(0.0, 7.0) shouldBe 1.0 +- 1e-12
   }
 
+  test("noiseless fit: algebraic SSR clamps at zero, p-values stay defined") {
+    import spark.implicits._
+    // y is an exact linear function: true SSR = 0, where the fused
+    // cancellation yy − 2βᵀb + βᵀGβ could land epsilon-negative
+    val data = (0 until 100).map { i =>
+      val x = (i % 37).toDouble
+      (x, 3.0 + 2.0 * x)
+    }
+    val fit = Ridge.fit(data.toDF("x1", "y"), Seq(col("x1")), col("y"),
+      lambda = 0.0)
+    fit.ssr shouldBe 0.0
+    fit.se.toArray.foreach(_.isNaN shouldBe false)
+    fit.pValues.toArray.foreach { p =>
+      p.isNaN shouldBe false
+      p should (be >= 0.0 and be <= 1.0)
+    }
+  }
+
   test("Ridge.pValues: seeded regression rejects true signal, keeps noise") {
     import spark.implicits._
     // The MyAppSuite.scala:78-111 scenario: strong linear signal on
