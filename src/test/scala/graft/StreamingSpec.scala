@@ -167,6 +167,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("composed topology: dedup -> enrich -> windowed agg, stream == batch under re-delivery") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = staticEvents.select("user_id").distinct()
+      .withColumn("tier", when(col("user_id") % 2 === 0, "even").otherwise("odd"))
+    def topo(df: DataFrame): DataFrame =
+      EventStreams.enrich(EventStreams.dedupEvents(df), dim, "user_id")
+        .groupBy(window(col("ts"), "1 hour"), col("tier"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("ws"), col("tier"), col("n"))
+
+    val batch = topo(staticEvents)
+
+    val mem = MemoryStream[Event]
+    val name = s"topo_out_${System.nanoTime()}"
+    val q = topo(mem.toDF()).writeStream
+      .format("memory").queryName(name).outputMode(OutputMode.Complete)
+      .start()
+    try {
+      val all = asEvents
+      all.grouped(math.max(1, all.size / 5)).foreach { b =>
+        // at-least-once source: every chunk re-delivers part of itself;
+        // the dedup stage must collapse it before the aggregate
+        mem.addData(b ++ b.take(b.size / 3))
+        q.processAllAvailable()
+      }
+      canon(spark.table(name)) shouldBe canon(batch)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join == static range join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
