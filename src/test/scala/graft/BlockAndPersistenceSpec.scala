@@ -103,6 +103,38 @@ class BlockAndPersistenceSpec extends SparkSpec {
     math.abs(s1 - s2) should be < 1e-6
   }
 
+  test("S5: JSON-lines sink/source round-trips events with an explicit schema") {
+    import java.nio.file.Files
+    val ev = Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "event_type", "value")
+    val dir = Files.createTempDirectory("jsondump").toString + "/events"
+    ev.write.json(dir)
+    // production JSON reads pin the schema — inference costs a full
+    // extra pass over the data at corpus scale
+    val back = spark.read
+      .schema("event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+      .json(dir)
+    back.count() shouldBe ev.count()
+    val a = ev.collect().map(_.toString).sorted
+    val b = back.collect().map(_.toString).sorted
+    b shouldBe a
+  }
+
+  test("S5: ORC sink/source round-trips the TWCNB weight frame bit-exactly") {
+    import java.nio.file.Files
+    val toks = graft.functions.TextFns.tokens(Tables.documents(spark, sfDir))
+      .select(col("lang").as("label"), col("term"))
+    val w = graft.ml.TWCNB.train(toks)
+    val dir = Files.createTempDirectory("orcdump").toString + "/model"
+    w.write.orc(dir)
+    val back = spark.read.orc(dir)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[String]("label"), r.getAs[String]("term"))
+    val orig = w.collect().map(r => key(r) -> r.getAs[Double]("w")).toMap
+    val rt = back.collect().map(r => key(r) -> r.getAs[Double]("w")).toMap
+    rt shouldBe orig // bit-exact: ORC stores doubles losslessly
+  }
+
   test("X7: approx_count_distinct within its rsd of exact per group") {
     val approx = SparkEntry.queries("q_agg_approx")(spark, sfDir)
       .collect().map(r => r.getAs[String]("l_returnflag") ->
