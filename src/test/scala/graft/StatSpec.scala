@@ -30,6 +30,19 @@ class StatSpec extends SparkSpec {
     Stat.tTestPValue(0.0, 7.0) shouldBe 1.0 +- 1e-12
   }
 
+  test("property: regularized incomplete beta satisfies the reflection identity") {
+    // I_x(a,b) + I_{1−x}(b,a) = 1 — exercises both continued-fraction
+    // branches against each other across the parameter space
+    val rnd = new scala.util.Random(5)
+    for (_ <- 1 to 200) {
+      val a = 0.5 + rnd.nextDouble() * 20
+      val b = 0.5 + rnd.nextDouble() * 20
+      val x = rnd.nextDouble()
+      val s = Stat.regIncBeta(a, b, x) + Stat.regIncBeta(b, a, 1 - x)
+      math.abs(s - 1.0) should be < 1e-10
+    }
+  }
+
   test("noiseless fit: algebraic SSR clamps at zero, p-values stay defined") {
     import spark.implicits._
     // y is an exact linear function: true SSR = 0, where the fused
