@@ -485,6 +485,44 @@ object Relational {
       .orderBy("a_key", "b_key")
   }
 
+  /** X15 batch form: gap-based sessionization — the lag-break/cumulative-
+    * sum formulation of session windows (30-minute inactivity gap), the
+    * batch twin of the streaming `session_window`/`flatMapGroupsWithState`
+    * sessionizer (streaming/EventStreams.scala). Two windows over ONE
+    * (user_id, ts) sort — the partition sort is reused — then a hash
+    * aggregate on (user, session). Epoch-second arithmetic keeps the gap
+    * predicate engine-portable. */
+  private val qSessionize = Q("q_sessionize",
+    """WITH d AS (SELECT user_id, ts, value,
+      |  CASE WHEN lag(ts) OVER w IS NULL
+      |         OR date_diff('second', lag(ts) OVER w, ts) > 1800
+      |       THEN 1 ELSE 0 END AS brk
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, brk DESC
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      |  FROM d)
+      |SELECT user_id, CAST(sess AS BIGINT) AS session_id,
+      |  COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |  ROUND(SUM(CAST(ROUND(value*100) AS BIGINT))/100.0, 2) AS sum_value
+      |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin) {
+    (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val brk = when(lag(col("ts"), 1).over(w).isNull ||
+        unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w))
+          > 1800, 1).otherwise(0)
+      val wRun = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("brk").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("brk", brk)
+        .withColumn("sess", sum(col("brk")).over(wRun))
+        .groupBy(col("user_id"), col("sess").as("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min("ts").as("session_start"), max("ts").as("session_end"),
+          Q.exactSum(col("value"), 2).as("sum_value"))
+        .orderBy("user_id", "session_id")
+  }
+
   /** Skew path, oracle-checked: the salted fact-fact join must produce
     * EXACTLY the plain join's result — the salt only respreads rows
     * (each fact row meets each matching build row once, on the
@@ -543,5 +581,5 @@ object Relational {
     qWindowRank, qWindowRunsum, qTopk, qUnion, qIntersect, qExcept,
     qStringDateFns, qJsonExtract, qEventTumble, qAggApprox, qAggCube, qJoinAsof,
     qPercentile, qEditDistance, qAggGroupingSets, qApproxPercentile,
-    qJoinSalted, qSaltedAgg)
+    qJoinSalted, qSaltedAgg, qSessionize)
 }
