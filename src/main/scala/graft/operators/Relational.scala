@@ -488,8 +488,9 @@ object Relational {
   /** X15 batch form: gap-based sessionization — the lag-break/cumulative-
     * sum formulation of session windows (30-minute inactivity gap), the
     * batch twin of the streaming `session_window`/`flatMapGroupsWithState`
-    * sessionizer (streaming/EventStreams.scala). Two windows over ONE
-    * (user_id, ts) sort — the partition sort is reused — then a hash
+    * sessionizer (streaming/EventStreams.scala). Both windows share ONE
+    * shuffle on user_id (the second window re-sorts within partitions —
+    * its order key differs — but never re-exchanges), then a hash
     * aggregate on (user, session). Epoch-second arithmetic keeps the gap
     * predicate engine-portable. */
   private val qSessionize = Q("q_sessionize",
