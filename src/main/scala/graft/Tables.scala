@@ -24,6 +24,13 @@ object Tables {
     * directly. Read it as a long (legacy conf) and truncate to microseconds
     * with integer division — identical to DuckDB's nanos→micros truncation
     * (double division would lose precision at 1.7e18 ns).
+    *
+    * SIDE EFFECT, deliberate: the legacy conf is session-wide and must
+    * stay set while the (lazy) scan executes, so it is NOT restored —
+    * after this call, any other TIMESTAMP(NANOS) parquet in the session
+    * also reads as BIGINT nanos instead of failing. The testdata has one
+    * nanos table, so this is contained; a multi-tenant session would
+    * scope the read to its own SparkSession instead.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

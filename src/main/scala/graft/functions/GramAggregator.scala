@@ -27,6 +27,9 @@ class GramAggregator(k: Int)
   override def zero: Array[Double] = new Array[Double](k * k)
 
   override def reduce(buf: Array[Double], row: Array[Double]): Array[Double] = {
+    require(row.length == k,
+      s"GramAggregator(k=$k): row of width ${row.length} — a wider row " +
+        "would silently drop features from the Gram, a narrower one AIOOBE")
     var p = 0
     while (p < k) {
       val vp = row(p)

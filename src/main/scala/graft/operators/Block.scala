@@ -45,13 +45,19 @@ object Block {
     * `allreduceBlock(blockF, reduceF)`, TWCNB.scala:54-83). */
   def allreduceBlock[A: scala.reflect.ClassTag](rows: Dataset[RowVec],
       blockF: (Array[Long], Array[Array[Double]]) => A,
-      reduceF: (A, A) => A): A =
-    rows.rdd
+      reduceF: (A, A) => A): A = {
+    val parts = rows.rdd
       .mapPartitions { it =>
         val (keys, vecs) = it.toArray.unzip
         if (keys.isEmpty) Iterator.empty else Iterator.single(blockF(keys, vecs))
       }
-      .reduce(reduceF)
+    // RDD.reduce throws a bare UnsupportedOperationException("empty
+    // collection") from deep inside the job on an empty dataset — fail
+    // with the actual contract violation instead
+    require(!parts.isEmpty(),
+      "allreduceBlock: empty input (no blocks to reduce)")
+    parts.reduce(reduceF)
+  }
 
   /** COO matrix → row-vector Dataset at a given width (the typed twin of
     * [[Coo.toRows]]). */

@@ -101,7 +101,15 @@ object EventStreams {
               closed = true)
             st = SessionState(e.ts, e.ts, 1, e.value)
           } else {
-            st = SessionState(st.start, e.ts, st.n + 1, st.sum + e.value)
+            // merge, never regress: a cross-batch late event extends the
+            // open session's bounds (start may move earlier, last only
+            // forward) — otherwise `last` walking backwards fabricates a
+            // gap and splits the session on the next in-order event
+            val start =
+              if (e.ts.getTime < st.start.getTime) e.ts else st.start
+            val last =
+              if (e.ts.getTime > st.last.getTime) e.ts else st.last
+            st = SessionState(start, last, st.n + 1, st.sum + e.value)
           }
         }
         state.update(st)
@@ -154,15 +162,28 @@ object EventStreams {
     * sources) collapse to exactly-once downstream while state stays
     * bounded by the horizon — the streaming half of the dedup surface
     * (batch half: PipelineQueries q_dedup_*). On static frames this is
-    * plain dropDuplicates. */
+    * plain dropDuplicates.
+    *
+    * Streaming uses `dropDuplicatesWithinWatermark`: plain
+    * `dropDuplicates("event_id")` would never evict state (Spark only
+    * cleans dedup state when an event-time column is part of the key
+    * set), so a long-running stream grows one state entry per id
+    * forever. The within-watermark variant expires ids once they age
+    * past the horizon — the bounded-state contract this operator
+    * documents. */
   def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
-    (if (events.isStreaming) events.withWatermark("ts", watermark)
-     else events)
-      .dropDuplicates("event_id")
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
 
   /** File-source streaming reader over a directory of event parquet —
     * the production entry (`readStream` → transforms → `writeStream`).
-    * Schema is pinned (required by streaming sources).
+    * Schema is pinned (required by streaming sources) to standard
+    * micro-second TIMESTAMP parquet — i.e. anything this library's own
+    * sinks wrote. The driver TESTDATA events.parquet is TIMESTAMP(NANOS)
+    * and is NOT readable here — batch-load it through [[graft.Tables
+    * .events]] (which carries the nanos workaround) and re-persist first.
     */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream

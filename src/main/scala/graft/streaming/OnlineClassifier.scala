@@ -20,16 +20,26 @@ import org.apache.spark.sql.functions._
   */
 object OnlineClassifier {
 
-  final case class Model(weights: DataFrame, labels: Seq[String])
+  final case class Model(weights: DataFrame, labels: Seq[String]) {
+    def unpersist(): Unit = weights.unpersist()
+  }
 
   /** Train TWCNB on labeled documents (label = `lang` on the testdata
-    * documents table). Weights: (label, term, w). */
+    * documents table). Weights: (label, term, w), persisted — every
+    * scored micro-batch joins them, and without the persist each batch
+    * would re-execute the full training plan (the most expensive DAG in
+    * the serving path). Labels come from the INPUT labels, not from a
+    * collect over the trained weights (which would run the training plan
+    * an extra time just for the label list). Call [[Model.unpersist]]
+    * when retiring a model. */
   def train(docs: DataFrame, alpha: Double = 1.0): Model = {
     val tokens = TextFns.tokens(docs)
       .select(col("lang").as("label"), col("term"))
+    val labels = tokens.select("label").distinct().collect()
+      .map(_.getString(0)).toSeq.sorted
     val w = TWCNB.train(tokens, alpha)
-    Model(w, w.select("label").distinct().collect()
-      .map(_.getString(0)).toSeq.sorted)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Model(w, labels)
   }
 
   /** Score a frame of (doc_id, text): tokenize → per-doc TF → broadcast
@@ -41,13 +51,23 @@ object OnlineClassifier {
   def score(docs: DataFrame, model: Model): DataFrame = {
     val tf = TextFns.tokens(docs.withColumn("lang", lit("")))
       .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
-    tf.join(broadcast(model.weights), "term")
+    val scored = tf.join(broadcast(model.weights), "term")
       .groupBy("doc_id", "label")
       .agg(sum(col("tf") * col("w")).as("score"))
       .groupBy("doc_id")
       .agg(min_by(col("label"), struct(col("score"), col("label")))
         .as("pred_label"),
         min(col("score")).as("best_score"))
+    // EVERY request gets a prediction: a doc whose tokens are all
+    // out-of-vocabulary inner-joins to zero weight rows — the reference
+    // servlet's argmax over an all-zero score vector returns the first
+    // label, so the left join + default reproduces that contract instead
+    // of silently dropping the request.
+    docs.select("doc_id").distinct()
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("pred_label"), lit(model.labels.head)).as("pred_label"),
+        coalesce(col("best_score"), lit(0.0)).as("best_score"))
   }
 
   /** Batch variant with full per-class scores (the reference's

@@ -59,6 +59,23 @@ class ServingSpec extends SparkSpec {
     streamPred.foreach { case (id, p) => batchPred(id) shouldBe p }
   }
 
+  test("every request gets a prediction: OOV-only documents fall back to the first label") {
+    import spark.implicits._
+    val train = Seq(
+      (0L, "alpha alpha beta", "en"),
+      (1L, "gamma gamma delta", "es")).toDF("doc_id", "text", "lang")
+    val model = OnlineClassifier.train(train)
+    // doc 10: pure out-of-vocabulary; doc 11: known terms
+    val reqs = Seq((10L, "zzz qqq www"), (11L, "alpha beta"))
+      .toDF("doc_id", "text")
+    val got = OnlineClassifier.score(reqs, model).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_label"))
+      .toMap
+    got.keySet shouldBe Set(10L, 11L) // nothing silently dropped
+    got(10L) shouldBe model.labels.head // argmax over all-zero scores
+    model.unpersist()
+  }
+
   test("classifier learns separable labels (seeded class-biased corpus)") {
     import spark.implicits._
     // The testdata documents draw one shared vocabulary for every lang

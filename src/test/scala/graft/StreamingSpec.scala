@@ -230,6 +230,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizer merges a cross-batch late event instead of splitting the session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, t: String, v: Double) =
+      Event(id, Timestamp.valueOf(t), 1L, "click", v, "{}")
+    val mem = MemoryStream[Event]
+    val name = s"sess_late_${System.nanoTime()}"
+    val q = EventStreams.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData(Seq(ev(1, "2024-01-01 10:00:00", 1.0)))
+      q.processAllAvailable()
+      // batch 2: a LATE 9:50 event plus an in-order 10:25 event. The late
+      // event must extend the open session backwards — if `last` regressed
+      // to 9:50, the 10:25 event would see a 35-min false gap and split.
+      mem.addData(Seq(ev(2, "2024-01-01 09:50:00", 1.0),
+        ev(3, "2024-01-01 10:25:00", 1.0)))
+      q.processAllAvailable()
+      val last = spark.table(name)
+        .orderBy(col("closed"), col("n_events").desc).collect().head
+      last.getAs[Boolean]("closed") shouldBe false
+      last.getAs[Long]("n_events") shouldBe 3L
+      last.getAs[Timestamp]("session_start") shouldBe
+        Timestamp.valueOf("2024-01-01 09:50:00")
+      last.getAs[Timestamp]("session_end") shouldBe
+        Timestamp.valueOf("2024-01-01 10:25:00")
+      // no spurious closed session anywhere in the update log
+      spark.table(name).filter(col("closed")).count() shouldBe 0L
+    } finally q.stop()
+  }
+
   test("streaming dedup collapses cross-batch re-deliveries to exactly-once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
