@@ -14,10 +14,13 @@ object PlanAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.01"
+    // note: q_gram/q_udaf_gram execute eagerly inside their fn (driver-
+    // side k×k finale) and return a LocalTableScan — auditing them shows
+    // nothing; q_rekey_join covers the honest fact-fact shuffle instead
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q_scan", "q_filter", "q_join_broadcast", "q_join_hash",
-        "q_groupby_agg", "q_matmul", "q_gram", "q_tfidf", "q_dedup_exact",
-        "q_cosine_topk")
+        "q_groupby_agg", "q_matmul", "q_rekey_join", "q_tfidf",
+        "q_dedup_exact", "q_cosine_topk")
     for (n <- names) {
       println(s"==== $n ====")
       val df = SparkEntry.queries(n)(spark, d)

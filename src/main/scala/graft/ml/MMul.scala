@@ -19,8 +19,12 @@ import breeze.linalg.DenseMatrix
   */
 object MMul {
 
-  /** Balanced row ranges: nsplits = min(parallelism, nrow). */
+  /** Balanced row ranges: nsplits = min(parallelism, nrow). Empty for a
+    * 0-row matrix (the degenerate-but-legal case; dividing by n = 0
+    * would throw from inside the split math). */
   private[graft] def createSplits(nrow: Int, nsplits: Int): Seq[Range] = {
+    require(nsplits > 0, s"createSplits: nsplits must be positive ($nsplits)")
+    if (nrow == 0) return Seq.empty
     val n = math.min(nsplits, nrow)
     val step = nrow / n
     val slack = nrow % n

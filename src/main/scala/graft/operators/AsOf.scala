@@ -30,6 +30,14 @@ object AsOf {
     val rPayload = right.columns.filter(c => c != key && c != rightTs)
     val rCols = ("r_ts" +: rPayload.map("r_" + _)).toSeq
     val lCols = left.columns.filterNot(_ == key).toSeq
+    // a left column named like a generated r_ output (e.g. feeding a
+    // previous asofJoin result back in as the new left) would be
+    // silently overwritten with nulls and then collide in the select —
+    // fail with the actual problem instead
+    val collisions = lCols.toSet.intersect(rCols.toSet)
+    require(collisions.isEmpty,
+      s"asofJoin: left columns collide with generated right outputs: " +
+        collisions.mkString(", ") + " — rename them on the left first")
 
     val lTagged = left
       .withColumn("__ts", col(leftTs))

@@ -92,31 +92,56 @@ object Coo {
     m.agg(sqrt(sum(col("v") * col("v"))).as("fro"))
 
   /** Pairwise squared Euclidean distances between rows (reference:
-    * `dist(mxC)`, BahmaniSketch.scala:122). Intended for small k×d center
-    * matrices; at scale use ‖a‖²+‖b‖²−2a·b via [[gram]]. */
-  def pairwiseDistSq(m: DataFrame): DataFrame =
-    m.as("a").join(m.as("b"), col("a.j") === col("b.j"))
+    * `dist(mxC)`, BahmaniSketch.scala:122), in the norm-expansion form
+    * ‖a‖² + ‖b‖² − 2·a·b. The naive Σ(aⱼ−bⱼ)² over an equi-join on j is
+    * WRONG on sparse rows — cells present in only one row vanish from the
+    * join, and row pairs sharing no column disappear entirely; the
+    * expansion needs the dot product only over shared columns (absent
+    * cells contribute 0 to a·b) plus per-row norms, honoring the
+    * implicit-zero contract. */
+  def pairwiseDistSq(m: DataFrame): DataFrame = {
+    val n2 = m.groupBy("i").agg(sum(col("v") * col("v")).as("n2"))
+    val dots = m.as("a").join(m.as("b"), col("a.j") === col("b.j"))
       .groupBy(col("a.i").as("i"), col("b.i").as("j"))
-      .agg(sum(pow(col("a.v") - col("b.v"), 2)).as("v"))
+      .agg(sum(col("a.v") * col("b.v")).as("dot"))
+    n2.select(col("i"), col("n2").as("n2a"))
+      .crossJoin(n2.select(col("i").as("j"), col("n2").as("n2b")))
+      .join(dots, Seq("i", "j"), "left")
+      .select(col("i"), col("j"),
+        (col("n2a") + col("n2b") - coalesce(col("dot"), lit(0.0)) * 2.0)
+          .as("v"))
+  }
 
   /** Add λ to the diagonal (reference: `mxA.diagv += lambda`,
-    * LinearRegression.scala:27). */
-  def diagReg(m: DataFrame, lambda: Double): DataFrame =
-    m.select(col("i"), col("j"),
-      when(col("i") === col("j"), col("v") + lambda).otherwise(col("v"))
-        .as("v"))
+    * LinearRegression.scala:27). Diagonal cells ABSENT from the sparse
+    * matrix (an all-zero feature column has no (j,j) Gram cell) must
+    * still receive λ — that singular coordinate is exactly what ridge
+    * regularization exists to fix — so the λ cells are unioned in over
+    * the full key domain and merged. */
+  def diagReg(m: DataFrame, lambda: Double): DataFrame = {
+    val keys = m.select(col("i")).unionAll(m.select(col("j").as("i")))
+      .distinct()
+    val diag = keys.select(col("i"), col("i").as("j"),
+      lit(lambda).as("v"))
+    m.unionAll(diag).groupBy("i", "j").agg(sum("v").as("v"))
+  }
 
   /** Densify a COO matrix into the row-vector view
     * `(i BIGINT, vec ARRAY<DOUBLE>)` of width `ncol` — the bridge to
     * MLlib / `mapPartitions` block ops (reference block `(keys, Matrix)`,
     * TWCNB.scala:109). One shuffle on the row key. */
-  def toRows(m: DataFrame, ncol: Int): DataFrame =
+  def toRows(m: DataFrame, ncol: Int): DataFrame = {
+    // ncol == 0 must yield empty vectors: sequence(0, -1) would run
+    // BACKWARDS ([0, -1]) and fabricate two phantom columns
+    val vec =
+      if (ncol == 0) array().cast("array<double>")
+      else transform(sequence(lit(0L), lit(ncol - 1L)),
+        jj => coalesce(element_at(col("m"), jj), lit(0.0)))
     m.groupBy("i", "j").agg(sum("v").as("v")) // duplicate COO cells sum
       .groupBy("i")
       .agg(map_from_arrays(collect_list("j"), collect_list("v")).as("m"))
-      .select(col("i"),
-        transform(sequence(lit(0L), lit(ncol - 1L)),
-          jj => coalesce(element_at(col("m"), jj), lit(0.0))).as("vec"))
+      .select(col("i"), vec.as("vec"))
+  }
 
   /** Row-vector view back to COO, dropping explicit zeros. */
   def fromRows(rows: DataFrame): DataFrame =

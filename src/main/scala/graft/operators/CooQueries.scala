@@ -80,6 +80,11 @@ object CooQueries {
   private def gramCells(s: org.apache.spark.sql.SparkSession, d: String) =
     toGramCells(gramOnePass(s, d))
 
+  /** Test hook: the one-pass Gram cells, for the drift differential
+    * against the cooX oracle view (CooAlgebraSpec). */
+  private[graft] def gramCellsForTest(s: org.apache.spark.sql.SparkSession,
+      d: String): Seq[(Long, Long, Double)] = gramCells(s, d)
+
   /** X16: the SAME one-pass Aggregator, exercised through the untyped
     * UDAF registration surface — `functions.udaf` + SQL text — rather
     * than the typed Column API q_gram uses. Same oracle; distinct API

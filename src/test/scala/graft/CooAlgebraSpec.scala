@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.GramAggregator
-import graft.operators.Coo
+import graft.operators.{Coo, CooQueries, CooViews}
 import org.apache.spark.sql.functions._
 
 /** Property layer the reference lacks (SURVEY.md §5): algebraic invariants
@@ -104,5 +104,53 @@ class CooAlgebraSpec extends SparkSpec {
     val d = cells(Coo.pairwiseDistSq(centers))
     (0L until 6L).foreach(i => d.getOrElse((i, i), 0.0) shouldBe 0.0)
     d.foreach { case ((i, j), v) => d.getOrElse((j, i), 0.0) shouldBe v }
+  }
+
+  test("pairwiseDistSq honors implicit zeros: disjoint sparse rows still get a distance") {
+    // rows share NO column — the naive equi-join formulation drops the
+    // pair entirely; true dist² = 1² + 2² = 5
+    val m = cooOf(Seq((0L, 0L, 1.0), (1L, 1L, 2.0)))
+    val d = cells(Coo.pairwiseDistSq(m))
+    d((0L, 1L)) shouldBe 5.0
+    d((1L, 0L)) shouldBe 5.0
+    // partial overlap: (1,0,3) vs (0:1, 2:4) → (3-1)² + 4² = 20
+    val p = cooOf(Seq((0L, 0L, 3.0), (1L, 0L, 1.0), (1L, 2L, 4.0)))
+    cells(Coo.pairwiseDistSq(p))((0L, 1L)) shouldBe 20.0
+  }
+
+  test("diagReg adds lambda to diagonal cells ABSENT from the sparse matrix") {
+    // column 2 is all-zero: the Gram has no (2,2) cell, yet ridge must
+    // still regularize that singular coordinate
+    val g = cooOf(Seq((0L, 0L, 4.0), (0L, 1L, 1.0), (1L, 0L, 1.0),
+      (1L, 1L, 3.0), (2L, 0L, 0.5), (0L, 2L, 0.5)))
+    val r = cells(Coo.diagReg(g, 10.0))
+    r((2L, 2L)) shouldBe 10.0 // materialized from nothing
+    r((0L, 0L)) shouldBe 14.0
+    r((1L, 1L)) shouldBe 13.0
+    r((0L, 1L)) shouldBe 1.0
+  }
+
+  test("toRows(ncol = 0) yields empty vectors, not a backwards sequence") {
+    val m = cooOf(Seq((0L, 0L, 1.0), (1L, 0L, 2.0)))
+    val vecs = Coo.toRows(m, 0).collect()
+      .map(r => r.getAs[Long]("i") -> r.getSeq[Double](r.fieldIndex("vec")))
+    vecs.length shouldBe 2
+    vecs.foreach { case (_, v) => v.isEmpty shouldBe true }
+  }
+
+  test("q_gram's row assembly matches the declared cooX oracle view") {
+    // gramRows (CooQueries) and the cooX SQL view are maintained in
+    // parallel; this differential catches drift with a clear failure
+    // instead of an opaque oracle hash mismatch
+    val viaAgg = CooQueries.gramCellsForTest(spark, sfDir).map {
+      case (i, j, v) => (i, j) -> v
+    }.toMap
+    val viaSelfJoin = cells(
+      Coo.gram(CooViews.cooX(spark, sfDir))
+        .select(col("i"), col("j"), (col("v") / 10000.0).as("v")))
+    viaAgg.keySet shouldBe viaSelfJoin.keySet
+    viaAgg.foreach { case (k, v) =>
+      math.abs(v - viaSelfJoin(k)) should be < 1e-6
+    }
   }
 }
