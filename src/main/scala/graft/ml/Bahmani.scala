@@ -171,7 +171,10 @@ object Bahmani {
     // histogram of nearest-sketch-center assignment, normalized.
     val centers = sketch.toArray
     val bc = sc.broadcast(centerIndex(centers))
-    val counts = points
+    // histogram over the PERSISTED scored set (same ids/vecs as points)
+    // — mapping over `points` would re-scan and re-decode the whole
+    // corpus while the vectors already sit in cache
+    val counts = scored
       .map(p => nearest(p.vec, bc.value)._1)
       .groupByKey(identity).count().collect().toMap
     val total = counts.values.sum.toDouble

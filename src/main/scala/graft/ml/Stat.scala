@@ -87,10 +87,13 @@ object Stat {
     }
   }
 
-  /** Two-sided p-value of Student's t with `df` degrees of freedom. */
+  /** Two-sided p-value of Student's t with `df` degrees of freedom.
+    * t = NaN (a 0/0 from β = 0 with SE = 0 on a perfect fit) reports
+    * p = 1: zero coefficient, zero evidence against the null. */
   def tTestPValue(t: Double, df: Double): Double = {
     require(df > 0, s"degrees of freedom must be positive: $df")
-    if (t.isInfinite) 0.0
+    if (t.isNaN) 1.0
+    else if (t.isInfinite) 0.0
     else regIncBeta(df / 2.0, 0.5, df / (df + t * t))
   }
 }

@@ -50,19 +50,19 @@ object Multimodal {
         s"asset ${a.asset_id}: payload is not a decodable image (${a.meta.mime})")
       val w = img.getWidth
       val h = img.getHeight
+      // ONE bulk getRGB: the per-pixel overload re-enters the ColorModel
+      // conversion machinery on every call (10-50× slower on megapixel
+      // images — this loop is the decode hot path)
+      val rgb = img.getRGB(0, 0, w, h, null, 0, w)
       val px = new Array[Byte](w * h * 3)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y)
-          val o = (y * w + x) * 3
-          px(o) = ((rgb >> 16) & 0xff).toByte
-          px(o + 1) = ((rgb >> 8) & 0xff).toByte
-          px(o + 2) = (rgb & 0xff).toByte
-          x += 1
-        }
-        y += 1
+      var p = 0
+      while (p < rgb.length) {
+        val v = rgb(p)
+        val o = p * 3
+        px(o) = ((v >> 16) & 0xff).toByte
+        px(o + 1) = ((v >> 8) & 0xff).toByte
+        px(o + 2) = (v & 0xff).toByte
+        p += 1
       }
       DecodedImage(a.asset_id, w, h, 3, px)
     }
@@ -200,6 +200,10 @@ object Multimodal {
     * decoded independently (flatMap — one asset fans out to its sampled
     * frames, still partition-local). */
   def sampleFrames(assets: Dataset[Asset], stride: Int): Dataset[VideoFrame] = {
+    // fail on the driver: stride=0 would throw 'step cannot be 0' inside
+    // every executor task (deterministic retry-until-abort), negative
+    // strides would silently emit nothing
+    require(stride > 0, s"sampleFrames: stride must be positive ($stride)")
     import assets.sparkSession.implicits._
     assets.filter(_.modality == "video").mapPartitions(_.flatMap { a =>
       (0 until a.meta.nFrames by stride).iterator.map { f =>

@@ -44,10 +44,24 @@ object Dedup {
     // Seed comp = min(node, min neighbor): one aggregate over sym does
     // the work of a whole propagation round for free — near-dup
     // components are tiny, so most converge in the seed itself.
+    //
+    // Checkpoint-block hygiene: each round's localCheckpoint persists a
+    // fresh copy of the label set; without explicit cleanup, up to
+    // maxIter copies sit in executor storage until the driver GC +
+    // ContextCleaner get around to them. The Dataset API gives no handle
+    // on the checkpointed RDD, so the loop diffs the context's persistent-
+    // RDD registry around each checkpoint and frees the PREVIOUS round's
+    // blocks once the next round is materialized (safe: the loop is
+    // single-threaded driver code; eager checkpoint means `next` no
+    // longer reads them). The final round's blocks stay for the caller.
+    val sc = edges.sparkSession.sparkContext
+    def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    val beforeSeed = persistedIds
     var labels = sym.groupBy("src")
       .agg(least(col("src"), min("dst")).as("comp"))
       .withColumnRenamed("src", "node")
       .localCheckpoint(true)
+    var prevBlocks: Set[Int] = persistedIds -- beforeSeed
     var converged = false
     var iter = 0
     // labels only ever decrease, so Σcomp strictly decreases until the
@@ -69,6 +83,7 @@ object Dedup {
             .as("comp"))
       // pointer jumping: comp <- comp(comp) (comp ids are node ids, so
       // the lookup is a self-join; labels only ever decrease)
+      val beforeCk = persistedIds
       val next = prop
         .join(prop.select(col("node").as("comp"),
           col("comp").as("jump")), Seq("comp"), "left")
@@ -76,7 +91,11 @@ object Dedup {
           least(col("comp"), coalesce(col("jump"), col("comp")))
             .as("comp"))
         .localCheckpoint(true)
+      val nextBlocks = persistedIds -- beforeCk
       val curSum = compSum(next)
+      prevBlocks.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      prevBlocks = nextBlocks
       labels = next
       converged = curSum == prevSum
       prevSum = curSum

@@ -27,6 +27,12 @@ object Skew {
     * be random. */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
       nSalts: Int, saltSource: Column): DataFrame = {
+    require(nSalts > 0, s"saltedJoin: nSalts must be positive ($nSalts)" +
+      " — 0 would pmod-by-zero and replicate over a backwards sequence")
+    require(!large.columns.contains("__salt") &&
+      !small.columns.contains("__salt"),
+      "saltedJoin: inputs already carry a __salt column — rename it first" +
+        " (it would be silently overwritten and dropped)")
     val salted = large.withColumn("__salt",
       pmod(xxhash64(saltSource), lit(nSalts)).cast("int"))
     val replicated = small.withColumn("__salt",
@@ -42,10 +48,14 @@ object Skew {
     * reassociated only (same addends), so quantized-exact inputs stay
     * bit-identical. */
   def saltedSum(df: DataFrame, key: String, valueCol: Column,
-      nSalts: Int, saltSource: Column): DataFrame =
+      nSalts: Int, saltSource: Column): DataFrame = {
+    require(nSalts > 0, s"saltedSum: nSalts must be positive ($nSalts)")
+    require(!df.columns.contains("__salt"),
+      "saltedSum: input already carries a __salt column — rename it first")
     df.withColumn("__salt", pmod(xxhash64(saltSource), lit(nSalts)))
       .groupBy(col(key), col("__salt"))
       .agg(sum(valueCol).as("__partial"), count(lit(1)).as("__n"))
       .groupBy(col(key))
       .agg(sum(col("__partial")).as("sum"), sum(col("__n")).as("n"))
+  }
 }

@@ -73,11 +73,18 @@ object TextQueries {
        |         FROM d WHERE df >= 5)
        |SELECT t.doc_id, dict.idx, t.tf FROM tf t JOIN dict USING (term)
        |ORDER BY doc_id, idx""".stripMargin) { (s, d) =>
+    // materialize tf once: it feeds the dictionary build (where
+    // zipWithIndex alone runs two jobs over it) AND the join probe side —
+    // Catalyst does not reuse the subtree across those shapes
     val tf = TextFns.tokens(Tables.documents(s, d))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val dict = withTermIdx(
       tf.groupBy("term").agg(count(lit(1)).as("df")).filter(col("df") >= 5))
-    tf.join(broadcast(dict.select("term", "idx")), "term")
+    // no broadcast hint: at corpus scale the dictionary is itself huge
+    // (the whole point of the distributed id assignment above) — let the
+    // planner broadcast only when the actual size is small
+    tf.join(dict.select("term", "idx"), "term")
       .select("doc_id", "idx", "tf")
       .orderBy("doc_id", "idx")
   }
@@ -95,10 +102,13 @@ object TextQueries {
        |ORDER BY doc_id, term""".stripMargin) { (s, d) =>
     val tf = TextFns.tokens(Tables.documents(s, d))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // feeds both the df aggregate and the join
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = Tables.documents(s, d).select(
       count(lit(1)).cast("double").as("n"))
-    tf.join(broadcast(df), "term").crossJoin(broadcast(n))
+    // df spans the vocabulary — no broadcast hint at corpus scale; the
+    // 1-row corpus count stays an explicit broadcast
+    tf.join(df, "term").crossJoin(broadcast(n))
       .select(col("doc_id"), col("term"),
         round(col("tf") * log((col("n") + 1.0) / (col("df") + 1.0)), 6)
           .as("tfidf"))
