@@ -65,6 +65,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("boilerplate cap bounds candidate pairs under heavy shingle skew") {
+    import spark.implicits._
+    // 800 docs all sharing one boilerplate sentence (every doc also has
+    // unique content): WITHOUT the df cap the shared shingles alone emit
+    // ~800²/2 ≈ 320k candidate pairs — the hot-key quadratic that kills
+    // shingle dedup at corpus scale. With the cap (df ≤ 50) the shared
+    // shingles drop before pairing and candidates collapse to ~zero.
+    val boiler = "this document is provided as is without warranty of any kind"
+    val docs = (0L until 800L).map { i =>
+      (i, s"$boiler unique${i}a unique${i}b unique${i}c unique${i}d")
+    }.toDF("doc_id", "text")
+    val sh = graft.operators.PipelineQueries.rareShinglesOf(docs)
+    val nPairs = sh.as("x").join(sh.as("y"),
+      col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .count()
+    nPairs should be < 1000L // uncapped would be ~320k from boilerplate alone
+    // the rare set still carries each doc's unique shingles
+    sh.select("doc_id").distinct().count() shouldBe 800L
+  }
+
   test("narrow shinglesOf equals the window-based shingles, with no Exchange") {
     import graft.functions.TextFns
     val docs = Tables.documents(spark, sfDir)
