@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local mode = one JVM: the heap IS the cluster memory. Measured A/B
+  // at sf0.1: 32g ≈ 8g on wall-clock (64g regressed ~30% — G1 behaves
+  // worse with the huge heap on this box), so 32g is the default for
+  // headroom at larger scale factors without the big-heap penalty.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )
