@@ -16,22 +16,41 @@ object Bench {
     // whichever query happens to run first, skewing its number by ~4s.
     spark.range(1000).selectExpr("sum(id)").collect()
     Tables.lineitem(spark, sfDir).limit(10).collect()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional args = subset of query names (local iteration), run in ARG
+    // order — the first query absorbs residual JIT warm-up, so subset
+    // comparisons should lead with a sacrificial query; default all
+    val selected: Seq[(String, (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)] =
+      if (args.nonEmpty) args.toSeq.map(n => n -> SparkEntry.queries(n))
+      else SparkEntry.queries.toSeq
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // record -1 on failure: a swallowed exception must not masquerade
       // as a (fast) timing
       val ok = try { fn(spark, sfDir).count(); true }
         catch { case _: Throwable => false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      // cache/checkpoint hygiene happens OUTSIDE the timed region: each
+      // query is measured cold-cache but not charged for the previous
+      // query's cleanup
+      Cleanup(spark)
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // total sums SUCCESSFUL timings only — summing the -1 sentinels would
     // make a failing run look FASTER; failures are listed explicitly
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.collect { case (k, v) if v < 0 => s"\"$k\"" }
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    println(json)
+    // the stdout line gets truncated by log-capture at ~85 queries — the
+    // file copy is the lossless record
+    new java.io.File("target").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench.json"), json + "\n")
     spark.stop()
   }
 }

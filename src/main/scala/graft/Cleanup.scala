@@ -1,0 +1,19 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Per-query storage hygiene for the Verify/Bench harnesses: queries are
+  * allowed to `persist`/`localCheckpoint` intermediates they reuse within
+  * one plan (rare-shingle tables, TWCNB complement counts, tf
+  * materializations), and the HARNESS frees them after each query's
+  * terminal action — otherwise a full 85-query run accumulates orphaned
+  * MEMORY_AND_DISK blocks for the session lifetime, evicting later
+  * queries' working set and skewing timings (advisor finding, round 2).
+  */
+object Cleanup {
+  def apply(spark: SparkSession): Unit = {
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
+}

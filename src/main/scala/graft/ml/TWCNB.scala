@@ -1,7 +1,6 @@
 package graft.ml
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Transformed-Weight Complement Naive Bayes (book Alg. 8.2), re-expressing
@@ -22,16 +21,39 @@ import org.apache.spark.sql.functions._
   *   3. θ_tc = ln((Ñ_tc + α) / Σ_t(Ñ_tc + α)) (TWCNB.scala:117-129);
   *   4. w_tc = θ_tc / Σ_t |θ_tc| (TWCNB.scala:134-147).
   *
-  * Scale: the only wide exchanges key on (label, term) and label; per-label
-  * windows assume the per-class vocabulary fits a partition (true for any
-  * realistic vocab; salt by term-range if a single class ever exceeds it).
+  * Scale: the only wide exchanges key on (label, term) and label. The two
+  * per-label normalizers (smoothing denominator, L1 weight norm) are
+  * per-label SCALARS, so they run as `groupBy(label)` aggregates
+  * (partial+final, parallel across the vocabulary) joined back as an
+  * L-row broadcast — NOT as `Window.partitionBy(label)` sums, which would
+  * funnel each class's entire vocabulary slice (|V|/L rows — effectively
+  * the whole vocab when L is small) through a single task.
   */
 object TWCNB {
 
   /** Train from token occurrences `(label, term)` — one row per token.
     * Returns `(label, term, w)`. */
-  def train(tokens: DataFrame, alpha: Double = 1.0): DataFrame = {
-    val ntc = tokens.groupBy("label", "term").agg(count(lit(1)).as("n"))
+  def train(tokens: DataFrame, alpha: Double = 1.0): DataFrame =
+    trainWeighted(
+      tokens.select(col("label"), col("term"), lit(1L).as("f")), alpha)
+
+  /** Train from weighted rows `(label, term, f)` — the reference's actual
+    * input is the TF-IDF matrix (`twcnbTrain(drmTfIdf)`, TWCNB.scala:28-32),
+    * i.e. f = tfidf(doc, term), one row per (doc, term). Raw-count
+    * training is the f = 1 special case ([[train]]). For cross-engine
+    * exactness feed integer-quantized weights (see q_twcnb_tfidf) — the
+    * class-count sums are then bit-exact in any summation order. */
+  def trainWeighted(weighted: DataFrame, alpha: Double = 1.0): DataFrame = {
+    // ntc is the corpus boundary: everything upstream of `weighted` is
+    // corpus-sized, everything from here on is model-sized (|V|·L). ntc
+    // feeds 4 plan positions (both grid distincts, tot, the comp join)
+    // that Catalyst does not dedupe — at corpus scale, persist/checkpoint
+    // `weighted` (or ntc) at the CALL SITE so the corpus chain runs once;
+    // the library deliberately does not force a materialization (measured
+    // here: an unconditional persist serializes the plan into sequential
+    // cache-build jobs and is 2-4× slower at bench scale, where the
+    // re-aggregations are cheap).
+    val ntc = weighted.groupBy("label", "term").agg(sum("f").as("n"))
     val grid = ntc.select("label").distinct()
       .crossJoin(ntc.select("term").distinct())
     val tot = ntc.groupBy("term").agg(sum("n").as("tot"))
@@ -40,17 +62,26 @@ object TWCNB {
       .join(tot, "term")
       .select(col("label"), col("term"),
         (col("tot") - coalesce(col("n"), lit(0L))).as("nc"))
-    val byLabel = Window.partitionBy("label")
-    comp
-      .withColumn("theta",
-        log((col("nc") + alpha) / sum(col("nc") + alpha).over(byLabel)))
-      .withColumn("w", col("theta") / sum(abs(col("theta"))).over(byLabel))
-      .select("label", "term", "w")
+    // θ_tc = ln((nc+α) / Σ_t(nc+α)): the denominator is one scalar per
+    // label — aggregate in parallel, join back broadcast (L rows)
+    val denom = comp.groupBy("label").agg(sum(col("nc") + alpha).as("den"))
+    val theta = comp.join(broadcast(denom), "label")
+      .select(col("label"), col("term"),
+        log((col("nc") + alpha) / col("den")).as("theta"))
+    // w_tc = θ_tc / Σ_t|θ_tc|: same shape, one L1 scalar per label
+    val norm = theta.groupBy("label").agg(sum(abs(col("theta"))).as("nrm"))
+    theta.join(broadcast(norm), "label")
+      .select(col("label"), col("term"), (col("theta") / col("nrm")).as("w"))
   }
 
   /** Score documents against a trained model: score(d,c) = Σ_t tf(d,t)·w_tc
     * — the distributed matmul form of classification (reference:
-    * `drmTfIdfTest %*% drmTwcnbWtModel`, TWCNBSuite.scala:115). */
+    * `drmTfIdfTest %*% drmTwcnbWtModel`, TWCNBSuite.scala:115).
+    * No broadcast hint on `model`: it is |V|·L rows — vocabulary-sized at
+    * corpus scale, where a forced broadcast would pin the full term×class
+    * table in every executor. A plain equi-join on `term` shuffles both
+    * sides by key (the scale plan); the planner still auto-broadcasts
+    * whenever the model is actually below the threshold. */
   def score(docTf: DataFrame, model: DataFrame): DataFrame =
     docTf.join(model, "term")
       .groupBy("doc_id", "label")

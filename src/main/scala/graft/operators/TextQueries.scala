@@ -161,11 +161,57 @@ object TextQueries {
       val toks = TextFns.tokens(Tables.documents(s, d))
       val model = TWCNB.train(toks.select(col("lang").as("label"), col("term")))
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      TWCNB.score(tf, broadcast(model))
+      // no broadcast hint: the model is |V|·L rows (vocabulary-sized at
+      // corpus scale) — see [[graft.ml.TWCNB.score]]
+      TWCNB.score(tf, model)
         .select(col("doc_id"), col("label"), round(col("score"), 6).as("score"))
         .orderBy("doc_id", "label")
   }
 
+  /** N3+N5: TWCNB trained on the TF-IDF matrix — the reference's ACTUAL
+    * training input (`twcnbTrain(drmTfIdf)`, TWCNB.scala:28-32;
+    * NaiveBayesServlet.scala:90-101 builds drmTfIdf first). Weights are
+    * quantized to integer micro-units (ROUND(tfidf·10⁶) as BIGINT) before
+    * the class sums, so the per-class aggregates are bit-exact in any
+    * summation order / engine; α scales by the same 10⁶ so the smoothed
+    * ratio (nc+α)/Σ(nc+α) is unchanged by the quantization. */
+  private val qTwcnbTfidf = Q("q_twcnb_tfidf",
+    s"""WITH $tokSql,
+       |tf AS (SELECT doc_id, lang, term, COUNT(*) AS tf FROM tokf GROUP BY 1, 2, 3),
+       |d AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+       |w0 AS (SELECT tf.lang AS label, tf.term,
+       |    CAST(ROUND(tf.tf * LN((nn.n + 1.0) / (d.df + 1.0)) * 1000000, 0) AS BIGINT) AS f
+       |  FROM tf JOIN d USING (term) CROSS JOIN nn),
+       |ntc AS (SELECT label, term, SUM(f) AS n FROM w0 GROUP BY 1, 2),
+       |grid AS (SELECT l.label, v.term
+       |  FROM (SELECT DISTINCT label FROM ntc) l
+       |  CROSS JOIN (SELECT DISTINCT term FROM ntc) v),
+       |tot AS (SELECT term, SUM(n) AS tot FROM ntc GROUP BY term),
+       |comp AS (SELECT g.label, g.term, t.tot - COALESCE(n.n, 0) AS nc
+       |  FROM grid g LEFT JOIN ntc n ON g.label = n.label AND g.term = n.term
+       |  JOIN tot t ON g.term = t.term),
+       |theta AS (SELECT label, term,
+       |  LN((nc + 1000000.0) / SUM(nc + 1000000.0) OVER (PARTITION BY label)) AS theta
+       |  FROM comp),
+       |model AS (SELECT label, term,
+       |  theta / SUM(ABS(theta)) OVER (PARTITION BY label) AS w FROM theta)
+       |SELECT label, term, ROUND(w, 6) AS w FROM model
+       |ORDER BY label, term""".stripMargin) { (s, d) =>
+    val tf = TextFns.tokens(Tables.documents(s, d))
+      .groupBy("doc_id", "lang", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = Tables.documents(s, d)
+      .select(count(lit(1)).cast("double").as("n"))
+    val weighted = tf.join(df, "term").crossJoin(broadcast(n))
+      .select(col("lang").as("label"), col("term"),
+        round(col("tf") * log((col("n") + 1.0) / (col("df") + 1.0)) * 1e6)
+          .cast("long").as("f"))
+    TWCNB.trainWeighted(weighted, alpha = 1e6)
+      .select(col("label"), col("term"), round(col("w"), 6).as("w"))
+      .orderBy("label", "term")
+  }
+
   val all: Seq[Q] = Seq(qTokenize, qTermFreq, qDictLoad, qDictVectorize,
-    qTfidf, qTwcnbModel, qNbScore)
+    qTfidf, qTwcnbModel, qNbScore, qTwcnbTfidf)
 }
