@@ -57,25 +57,31 @@ object Ridge {
     //   SSR = ‖y − Xβ‖² = yᵀy − 2βᵀ(Xᵀy) + βᵀ(XᵀX)β.
     // All three terms come from the same exact integer sums, so the fused
     // form agrees with an explicit residual pass to ~1e-11 relative
-    // (double rounding on the k² driver-side products only). yᵀy alone
-    // accumulates in DECIMAL(38,0): per-row y² fits a long, but the SUM
-    // is Σy² ~ n·(10⁷)² and blows past 2⁶³ already at sf0.1 — decimal
-    // sums stay exact (and mergeable) at any row count.
+    // (double rounding on the k² driver-side products only). EVERY sum
+    // accumulates in DECIMAL(38,0): per-row products fit a long, but the
+    // SUMS are n·(quantized magnitudes)² — Σy² blows past 2⁶³ already at
+    // sf0.1, and Σx·y / Σx·x are only ~10× below the same cliff. Decimal
+    // sums stay exact (and mergeable) at any row count; conversion to
+    // double happens once, driver-side.
+    def exactSum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      sum(c.cast("long").cast("decimal(38,0)"))
     val aggs =
       (for (p <- 0 until k; q <- p until k)
-        yield sum((x(p) * x(q)).cast("long")).as(s"g_${p}_$q")) ++
-        (for (p <- 0 until k) yield sum((x(p) * target).cast("long")).as(s"b_$p")) :+
-        sum((target * target).cast("long").cast("decimal(38,0)")).as("yy") :+
+        yield exactSum(x(p) * x(q)).as(s"g_${p}_$q")) ++
+        (for (p <- 0 until k) yield exactSum(x(p) * target).as(s"b_$p")) :+
+        exactSum(target * target).as("yy") :+
         count(lit(1)).as("n")
     val row: Row = df.agg(aggs.head, aggs.tail: _*).head()
 
+    def dbl(name: String): Double =
+      row.getAs[java.math.BigDecimal](name).doubleValue()
     val g = DenseMatrix.zeros[Double](k, k)
     for (p <- 0 until k; q <- p until k) {
-      val v = row.getAs[Long](s"g_${p}_$q").toDouble
+      val v = dbl(s"g_${p}_$q")
       g(p, q) = v; g(q, p) = v
     }
-    val b = DenseVector.tabulate(k)(p => row.getAs[Long](s"b_$p").toDouble)
-    val yy = row.getAs[java.math.BigDecimal]("yy").doubleValue()
+    val b = DenseVector.tabulate(k)(p => dbl(s"b_$p"))
+    val yy = dbl("yy")
     val n = row.getAs[Long]("n")
     val reg = g + DenseMatrix.eye[Double](k) * lambda
     val beta = reg \ b

@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions._
   * streamed, never collected).
   *
   * Codecs: real images (PNG/BMP/GIF/JPEG — whatever the JDK's ImageIO
-  * registry handles) decode through [[ImageIoCodec]]; the synthetic
-  * "fake"-mime assets derived from `documents` (payload = text bytes, not
-  * an encoded image) keep the deterministic [[FakeCodec]]. Audio/video
-  * decode remains stubbed (no codec libraries in this environment) —
-  * the frame-sampling kernel is real, the per-frame byte source is fake.
+  * registry handles) decode through [[ImageIoCodec]]; real audio (WAV —
+  * whatever `javax.sound.sampled` handles, PCM signed/unsigned 8/16/32
+  * bit) through [[WavCodec]]; the synthetic "fake"-mime assets derived
+  * from `documents` (payload = text bytes, not an encoded payload) keep
+  * the deterministic [[FakeCodec]]/[[FakeAudioCodec]]. Only VIDEO decode
+  * remains stubbed (no video codec in the JDK) — the frame-sampling
+  * kernel is real, the per-frame byte source is fake.
   *
   * Scale notes: payload bytes never enter a shuffle — all kernels are
   * narrow (partition-local), so the only data movement is the initial scan.
@@ -33,6 +35,11 @@ object Multimodal {
 
   final case class DecodedImage(asset_id: Long, width: Int, height: Int,
       channels: Int, pixels: Array[Byte])
+  /** Interleaved waveform in [-1, 1]. */
+  final case class DecodedAudio(asset_id: Long, sampleRate: Int,
+      channels: Int, samples: Array[Float])
+  final case class AudioFeatures(asset_id: Long, duration_s: Double,
+      rms: Double, peak: Double, zero_cross_rate: Double)
   final case class ImageFeatures(asset_id: Long, mean_rgb: Array[Double],
       histogram: Array[Double])
   final case class VideoFrame(asset_id: Long, frame_idx: Int,
@@ -66,6 +73,109 @@ object Multimodal {
       }
       DecodedImage(a.asset_id, w, h, 3, px)
     }
+  }
+
+  /** Real audio decode via the JDK-bundled `javax.sound.sampled` (zero
+    * new dependencies — the same move as [[ImageIoCodec]]): bytes →
+    * AudioInputStream → interleaved float waveform in [-1, 1]. Handles
+    * the PCM encodings WAV carries natively (signed 16/32-bit either
+    * endianness, unsigned 8-bit). */
+  object WavCodec {
+    def decode(a: Asset): DecodedAudio = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(a.content))
+      try {
+        val fmt = in.getFormat
+        val enc = fmt.getEncoding
+        val bits = fmt.getSampleSizeInBits
+        val bytes = in.readAllBytes()
+        val order =
+          if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+          else java.nio.ByteOrder.LITTLE_ENDIAN
+        val bb = java.nio.ByteBuffer.wrap(bytes).order(order)
+        import javax.sound.sampled.AudioFormat.Encoding._
+        val out = (enc, bits) match {
+          case (PCM_SIGNED, 16) =>
+            Array.tabulate(bytes.length / 2)(i => bb.getShort(i * 2) / 32768f)
+          case (PCM_SIGNED, 32) =>
+            Array.tabulate(bytes.length / 4)(i =>
+              (bb.getInt(i * 4) / 2147483648.0).toFloat)
+          case (PCM_UNSIGNED, 8) =>
+            Array.tabulate(bytes.length)(i => ((bytes(i) & 0xff) - 128) / 128f)
+          case (PCM_SIGNED, 8) =>
+            Array.tabulate(bytes.length)(i => bytes(i) / 128f)
+          case other =>
+            throw new IllegalArgumentException(
+              s"asset ${a.asset_id}: unsupported audio encoding $other")
+        }
+        DecodedAudio(a.asset_id, fmt.getSampleRate.toInt, fmt.getChannels, out)
+      } finally in.close()
+    }
+  }
+
+  /** STUB audio decoder for the synthetic corpus — deterministic waveform
+    * derived from the payload hash, shaped like a real decode. */
+  object FakeAudioCodec {
+    def decode(a: Asset): DecodedAudio = {
+      val sr = if (a.meta.sampleRate > 0) a.meta.sampleRate else 8000
+      val n = math.max(256, sr / 8)
+      val out = new Array[Float](n)
+      var h = (java.util.Arrays.hashCode(a.content).toLong & 0xffffffffL) *
+        6364136223846793005L + 1442695040888963407L
+      var i = 0
+      while (i < n) {
+        h = h * 6364136223846793005L + 1442695040888963407L
+        out(i) = ((h >>> 40).toInt / 8388608.0f) - 1.0f
+        i += 1
+      }
+      DecodedAudio(a.asset_id, sr, 1, out)
+    }
+  }
+
+  /** Mime-dispatched audio decode: real `javax.sound.sampled` for encoded
+    * audio, the deterministic fake for the synthetic corpus. */
+  def decodeAudioAsset(a: Asset): DecodedAudio =
+    if (a.meta.mime.endsWith("/fake")) FakeAudioCodec.decode(a)
+    else WavCodec.decode(a)
+
+  /** Narrow per-partition audio decode (the mapInPandas shape). */
+  def decodeAudio(assets: Dataset[Asset]): Dataset[DecodedAudio] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map(decodeAudioAsset))
+  }
+
+  /** Waveform features: duration, RMS, peak, zero-crossing rate — the
+    * fixed-width summary downstream filters/joins consume instead of the
+    * payload (narrow, allocation-tight, payloads never shuffle). ZCR is
+    * computed on channel 0 of the interleaved stream. */
+  def audioFeatures(decoded: Dataset[DecodedAudio]): Dataset[AudioFeatures] = {
+    import decoded.sparkSession.implicits._
+    decoded.mapPartitions(_.map { a =>
+      val n = a.samples.length
+      val frames = n / math.max(1, a.channels)
+      var sumSq = 0.0
+      var peak = 0.0
+      var crossings = 0L
+      var prevSign = 0
+      var i = 0
+      while (i < n) {
+        val v = a.samples(i).toDouble
+        sumSq += v * v
+        val av = math.abs(v)
+        if (av > peak) peak = av
+        if (i % a.channels == 0) { // channel 0 only for ZCR
+          val sign = if (v > 0) 1 else if (v < 0) -1 else 0
+          if (sign != 0 && prevSign != 0 && sign != prevSign) crossings += 1
+          if (sign != 0) prevSign = sign
+        }
+        i += 1
+      }
+      AudioFeatures(a.asset_id,
+        if (a.sampleRate > 0) frames.toDouble / a.sampleRate else 0.0,
+        if (n > 0) math.sqrt(sumSq / n) else 0.0,
+        peak,
+        if (frames > 1) crossings.toDouble / (frames - 1) else 0.0)
+    })
   }
 
   /** Mime-dispatched decode: real ImageIO for encoded images, the

@@ -75,7 +75,10 @@ object AsOf {
     val carried = unioned
       .withColumn("__r", last(rStruct, ignoreNulls = true).over(w))
 
-    rCols.foldLeft(carried)((df, c) => df.withColumn(c, col(s"__r.$c")))
+    // getField, not col("__r.name"): a payload column whose name contains
+    // a dot (legal in DataFrames) would parse as a deeper nested path
+    rCols.foldLeft(carried)((df, c) =>
+      df.withColumn(c, col("__r").getField(c)))
       .filter(col("__is_left") === 1 && col("r_ts").isNotNull)
       .drop("__ts", "__is_left", "__r")
   }

@@ -23,7 +23,15 @@ object Dedup {
   /** `edges`: (a, b) undirected candidate pairs (any orientation, dups
     * fine). Returns (node, comp) with comp = min node id of the
     * component. Nodes absent from `edges` are their own components —
-    * callers union isolated nodes back if needed. */
+    * callers union isolated nodes back if needed.
+    *
+    * NOT thread-safe with respect to OTHER persisted datasets: the loop's
+    * checkpoint-block cleanup identifies each round's blocks by diffing
+    * `sc.getPersistentRDDs` around the checkpoint call, so a CONCURRENT
+    * persist on the same SparkContext (another thread submitting queries
+    * while this loop runs) can land in the diff and be unpersisted from
+    * under its owner. Run from a single-threaded driver section — the
+    * normal shape for a batch dedup pass — or fork a separate session. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     // symmetrize in ONE pass over `edges` (explode both orientations —
     // a unionAll of two selects would evaluate the candidate-pair
