@@ -459,30 +459,69 @@ object Relational {
       |ORDER BY a_key, b_key""".stripMargin) { (s, d) =>
     val p = Tables.part(s, d).select("p_partkey", "p_brand", "p_name")
       .filter(col("p_partkey") % 2 === 0)
-    // Cheap implied prefilter (NOT in the oracle — redundant given
-    // dist ≤ 1): any single edit on strings of length ≥ 2 preserves the
-    // first or the last character, so requiring one of them equal prunes
-    // most candidate pairs before the O(len·k) levenshtein runs. The
-    // implication fails only for length ≤ 1 names ('a' vs 'b'), so those
-    // bypass the prune — keeps the operator equivalent to its oracle on
-    // ANY data, not just long TPC-H part names.
-    val endsMatch =
-      substring(col("a.p_name"), 1, 1) === substring(col("b.p_name"), 1, 1) ||
-        substring(col("a.p_name"), -1, 1) === substring(col("b.p_name"), -1, 1) ||
-        length(col("a.p_name")) <= 1 || length(col("b.p_name")) <= 1
-    p.as("a").join(p.as("b"),
+    // Deletion-neighborhood blocking (the SymSpell family): any two
+    // strings within ONE edit share at least one member of
+    // {s} ∪ {s minus one character}, so the equi-join key is
+    // (brand, xxhash64(deletion variant)) — a name of length n emits
+    // n+1 8-byte keys. Blocking on attributes alone does NOT scale
+    // here: brand cardinality is fixed (25) and the synthetic names are
+    // same-length near-clones, so (brand) or (brand, length) blocks
+    // grow linearly with the table and pairs quadratically (measured
+    // 6 s at sf0.1 → 156 s at sf1; deletion blocking cuts the sf1
+    // candidate space 24M → 4.4M and the exact levenshtein verify
+    // keeps the result oracle-identical — hash collisions can only ADD
+    // candidates, never drop a true pair).
+    // Pair DISTINCT NAMES, not rows: string distance is a function of
+    // the strings, so all key-level work collapses onto the (brand,
+    // name) groups first and expands back at the end. On a dup-heavy
+    // table (the synthetic names repeat ~f times per brand) this
+    // removes the f² blow-up of every row-level formulation — the
+    // measured sf1 intermediates drop from 38.6M candidate rows (8.8×
+    // the final output, each paying a levenshtein) to levenshtein on
+    // ~10⁴ distinct name pairs plus joins that emit exactly the output.
+    // With fully unique names it degrades gracefully to the plain
+    // variant join. At any scale no stage is quadratic in table size:
+    // the only quadratic term is per-(brand, variant) family size,
+    // bounded by the name-duplication structure itself.
+    val name = col("p_name")
+    val variants = transform(sequence(lit(0), length(name)), i =>
+      when(i === 0, name).otherwise(
+        concat(name.substr(lit(1), i - 1),
+          name.substr(i + 1, length(name) - i))))
+    val pn = p.select("p_brand", "p_name").distinct()
+    val vn = pn.select(col("p_brand"), col("p_name"),
+      explode(variants).as("variant"))
+      .select(col("p_brand"), col("p_name"),
+        xxhash64(col("variant")).as("vh"))
+    // distinct name pairs within one edit: bounded levenshtein (O(len·k)
+    // banded DP, exact below the threshold, -1 above) verifies the
+    // deletion-variant candidates; dist = 0 is impossible here (names
+    // differ), so surviving cross pairs all have dist = 1
+    val namePairs = vn.as("a").join(vn.as("b"),
       col("a.p_brand") === col("b.p_brand") &&
-        col("a.p_partkey") < col("b.p_partkey") &&
-        abs(length(col("a.p_name")) - length(col("b.p_name"))) <= 1 &&
-        endsMatch)
-      .select(col("a.p_partkey").as("a_key"), col("b.p_partkey").as("b_key"),
-        // bounded variant: O(len·k) banded DP instead of the full O(len²)
-        // matrix; returns -1 above the threshold, exact values below it,
-        // so the declared dist column is unchanged for surviving rows
-        levenshtein(col("a.p_name"), col("b.p_name"), 2).cast("long")
-          .as("dist"))
-      .filter(col("dist").between(0, 1))
-      .orderBy("a_key", "b_key")
+        col("a.vh") === col("b.vh") &&
+        col("a.p_name") < col("b.p_name"))
+      .select(col("a.p_brand").as("p_brand"), col("a.p_name").as("na"),
+        col("b.p_name").as("nb"))
+      .distinct() // a name pair may share several deletion variants
+      .filter(levenshtein(col("na"), col("nb"), 2) === 1)
+    // expand name pairs back to key pairs (each (ka, kb) combination
+    // appears exactly once; orient by key order)
+    val cross = namePairs
+      .join(p.select(col("p_brand"), col("p_name").as("na"),
+        col("p_partkey").as("ka")), Seq("p_brand", "na"))
+      .join(p.select(col("p_brand"), col("p_name").as("nb"),
+        col("p_partkey").as("kb")), Seq("p_brand", "nb"))
+      .select(least(col("ka"), col("kb")).as("a_key"),
+        greatest(col("ka"), col("kb")).as("b_key"), lit(1L).as("dist"))
+    // identical names: every key pair within the (brand, name) group
+    val same = p.as("x").join(p.as("y"),
+      col("x.p_brand") === col("y.p_brand") &&
+        col("x.p_name") === col("y.p_name") &&
+        col("x.p_partkey") < col("y.p_partkey"))
+      .select(col("x.p_partkey").as("a_key"), col("y.p_partkey").as("b_key"),
+        lit(0L).as("dist"))
+    same.unionAll(cross).orderBy("a_key", "b_key")
   }
 
   /** X15 batch form: gap-based sessionization — the lag-break/cumulative-

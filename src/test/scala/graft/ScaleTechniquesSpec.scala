@@ -21,6 +21,18 @@ class ScaleTechniquesSpec extends SparkSpec {
     }
   }
 
+  test("TWCNB plans contain no label-partitioned Window") {
+    // per-label normalizers are per-label SCALARS: groupBy(label)
+    // aggregates joined back. A Window.partitionBy(label) would funnel
+    // each class's whole vocabulary slice through one task (L is small),
+    // the same failure class as the dictionary window above.
+    val byName = graft.operators.TextQueries.all.map(q => q.name -> q).toMap
+    for (n <- Seq("q_twcnb_model", "q_twcnb_tfidf", "q_nb_score")) {
+      val plan = byName(n).fn(spark, sfDir).queryExecution.executedPlan.toString
+      withClue(s"$n plan:") { plan should not include "Window" }
+    }
+  }
+
   test("range join blocks on (user_id, time bucket), not user_id alone") {
     val byName = graft.operators.Relational.all.map(q => q.name -> q).toMap
     val plan = byName("q_join_range").fn(spark, sfDir)
