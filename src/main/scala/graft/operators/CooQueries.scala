@@ -341,13 +341,16 @@ object CooQueries {
     """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
       |WHERE ((l_orderkey*8 + l_linenumber) * 1103515245 + 12345) % 2147483648
       |      < l_quantity / 500.0 * 2147483648.0
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin) { (s, d) =>
     Tables.lineitem(s, d)
       .filter(((col("l_orderkey") * 8 + col("l_linenumber")) * 1103515245L +
         12345L) % 2147483648L <
         col("l_quantity") / 500.0 * 2147483648.0)
       .select("l_orderkey", "l_linenumber", "l_quantity")
-      .orderBy("l_orderkey", "l_linenumber")
+      // (l_orderkey, l_linenumber) is NOT unique in the generated data —
+      // order by every output column so the row-order hash compare is
+      // deterministic at any scale (ties are then full-row duplicates)
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity")
   }
 
   /** B4: math scalar function coverage (log/abs/sqrt/exp/pow — all

@@ -23,12 +23,18 @@ object Relational {
     * (ReadSchema shows only these 5 columns). */
   private val qScan = Q("q_scan",
     """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
-      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) {
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+      |  l_returnflag""".stripMargin) {
     (s, d) =>
+      // (l_orderkey, l_linenumber) is NOT unique in the generated data:
+      // order by EVERY output column so ties are full-row duplicates and
+      // the row-order hash compare is total at any scale
       Tables.lineitem(s, d)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
           "l_returnflag")
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+          "l_returnflag")
   }
 
   /** Predicate pushdown: all three filters appear in PushedFilters. */
@@ -38,14 +44,14 @@ object Relational {
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       |  AND l_shipdate <  TIMESTAMP '1997-01-01'
       |  AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 25
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount""".stripMargin) { (s, d) =>
     Tables.lineitem(s, d)
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
         col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
         col("l_quantity") < 25)
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
   }
 
   /** Shuffle hash/SMJ equi-join: orders ⋈ customer (both large at scale —
