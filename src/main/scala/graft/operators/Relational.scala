@@ -622,10 +622,54 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** X6+: PIVOT — wide crosstab via `groupBy().pivot(col, values)`. With
+    * the pivot values listed explicitly the plan is a single partial+final
+    * aggregate over conditional inputs (no extra pass to discover values
+    * — the discovery scan is exactly what you cannot afford at 100 TB;
+    * enumerate or dictionary-lookup the pivot domain instead). Empty
+    * cells: sums are NULL, counts 0 — the oracle's no-ELSE CASE matches. */
+  private val qPivot = Q("q_pivot",
+    """SELECT l_returnflag,
+      |  ROUND(SUM(CASE WHEN l_linestatus='F'
+      |    THEN CAST(ROUND(l_extendedprice*100) AS BIGINT) END)/100.0, 2) AS F_price,
+      |  COUNT(CASE WHEN l_linestatus='F' THEN l_quantity END) AS F_n,
+      |  ROUND(SUM(CASE WHEN l_linestatus='O'
+      |    THEN CAST(ROUND(l_extendedprice*100) AS BIGINT) END)/100.0, 2) AS O_price,
+      |  COUNT(CASE WHEN l_linestatus='O' THEN l_quantity END) AS O_n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0,
+          2).as("price"),
+          count(col("l_quantity")).as("n"))
+        .orderBy("l_returnflag")
+  }
+
+  /** X6+: global NTILE without the single-task window —
+    * [[Rank.globalNtile]] (distributed sort + zipWithIndex + arithmetic
+    * bucket split) against DuckDB's native ntile() as the oracle. The
+    * count that sizes the buckets is a driver scalar (one distributed
+    * count), not a collect of data. */
+  private val qNtile = Q("q_ntile",
+    """WITH r AS (SELECT o_totalprice,
+      |  ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      |  FROM orders)
+      |SELECT CAST(decile AS BIGINT) AS decile, COUNT(*) AS n,
+      |  ROUND(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))/100.0, 2) AS total
+      |FROM r GROUP BY decile ORDER BY decile""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+    Rank.globalNtile(o, 10, o.count(), "o_totalprice", "o_orderkey")
+      .groupBy(col("ntile").as("decile"))
+      .agg(count(lit(1)).as("n"), Q.exactSum(col("o_totalprice"), 2).as("total"))
+      .orderBy("decile")
+  }
+
   val all: Seq[Q] = Seq(qScan, qFilter, qJoinHash, qJoinBroadcast, qJoinOuter,
     qJoinSemi, qJoinAnti, qJoinRange, qGroupbyAgg, qAggRollup, qAggDistinct,
     qWindowRank, qWindowRunsum, qTopk, qUnion, qIntersect, qExcept,
     qStringDateFns, qJsonExtract, qEventTumble, qAggApprox, qAggCube, qJoinAsof,
     qPercentile, qEditDistance, qAggGroupingSets, qApproxPercentile,
-    qJoinSalted, qSaltedAgg, qSessionize)
+    qJoinSalted, qSaltedAgg, qSessionize, qPivot, qNtile)
 }

@@ -3,9 +3,8 @@ package graft.operators
 import graft.{Q, Tables}
 import graft.functions.TextFns
 import graft.ml.TWCNB
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** The reference's text/NLP classifier pipeline (SURVEY.md §2.6 N1–N7 +
   * S3 dictionary load) as declared queries over `documents`.
@@ -14,20 +13,14 @@ object TextQueries {
 
   private val tokSql = TextFns.tokSql
 
-  /** Distributed dense ids in ascending `term` order: range-partitioned
-    * sort + RDD `zipWithIndex` (one count job to learn partition offsets,
-    * then a narrow map). Replaces `row_number() OVER (ORDER BY term)`,
-    * whose empty partitionBy funnels the ENTIRE dictionary through one
-    * task — a single-task sort over billions of terms at corpus scale.
-    * Deterministic: terms are distinct, so the sort order is total. */
-  private def withTermIdx(df: DataFrame): DataFrame = {
-    val sorted = df.orderBy("term")
-    val schema = StructType(sorted.schema.fields :+
-      StructField("idx", LongType, nullable = false))
-    sorted.sparkSession.createDataFrame(
-      sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
-      schema)
-  }
+  /** Distributed dense ids in ascending `term` order ([[Rank.withRowIndex]]
+    * — range-partitioned sort + RDD zipWithIndex). Replaces `row_number()
+    * OVER (ORDER BY term)`, whose empty partitionBy funnels the ENTIRE
+    * dictionary through one task — a single-task sort over billions of
+    * terms at corpus scale. Deterministic: terms are distinct, so the
+    * sort order is total. */
+  private def withTermIdx(df: DataFrame): DataFrame =
+    Rank.withRowIndex(df, "term")
 
   /** N1: regex unigram tokenizer (NaiveBayesServlet.scala:80-82). */
   private val qTokenize = Q("q_tokenize",

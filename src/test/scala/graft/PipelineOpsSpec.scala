@@ -25,6 +25,31 @@ class PipelineOpsSpec extends SparkSpec {
     rows.map(_.getAs[Double]("top_term_frac")).distinct.length should be > 10
   }
 
+  test("decontamination flags exactly the docs sharing an 8-gram with the benchmark slice") {
+    // independent recomputation via the WINDOW shingle formulation
+    // (TextFns.shingles), not the narrow array form the query uses
+    val docs = Tables.documents(spark, sfDir)
+    val toks = graft.functions.TextFns.tokens(docs)
+    val sh8 = graft.functions.TextFns.shingles(toks, 8).distinct()
+    val bench = sh8.filter(col("doc_id") % 20 === 0).select("sh").distinct()
+    val expected = sh8.filter(col("doc_id") % 20 =!= 0)
+      .join(bench, "sh").select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+
+    val got = byName("q_decontaminate").fn(spark, sfDir).collect()
+    // output covers every training doc exactly once, no benchmark docs
+    got.map(_.getAs[Long]("doc_id")).toSet shouldBe
+      docs.filter(col("doc_id") % 20 =!= 0)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+    got.filter(_.getAs[Boolean]("contaminated"))
+      .map(_.getAs[Long]("doc_id")).toSet shouldBe expected
+    // flagged docs carry a positive shared-shingle count, clean docs zero
+    got.foreach { r =>
+      (r.getAs[Long]("n_shared_shingles") > 0) shouldBe
+        r.getAs[Boolean]("contaminated")
+    }
+  }
+
   test("stratified sample hits its per-source rates within sampling noise") {
     val docs = Tables.documents(spark, sfDir)
       .groupBy("source").agg(count(lit(1)).as("n"))

@@ -155,6 +155,31 @@ class ScaleTechniquesSpec extends SparkSpec {
     math.abs(sumGot - sumExp) should be < 1e-6
   }
 
+  test("globalNtile matches the SQL ntile definition, plan Window-free") {
+    import graft.operators.Rank
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // sizes exercising n % k == 0, n % k != 0, and n < k
+    for ((n, k) <- Seq((100, 10), (103, 10), (7, 10), (1, 3))) {
+      val df = (0 until n).map(i => ((i * 7919) % n, i)).toDF("key", "tie")
+      val got = Rank.globalNtile(df, k, n.toLong, "key", "tie")
+      val want = df.withColumn("ntile",
+        ntile(k).over(Window.orderBy("key", "tie")).cast("long"))
+      withClue(s"n=$n k=$k:") {
+        got.except(want).count() shouldBe 0
+        want.except(got).count() shouldBe 0
+        got.queryExecution.executedPlan.toString should not include "Window"
+      }
+    }
+  }
+
+  test("q_ntile plan contains no single-partition Window") {
+    val byName = graft.operators.Relational.all.map(q => q.name -> q).toMap
+    val plan = byName("q_ntile").fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    plan should not include "Window"
+  }
+
   test("partitioned parquet write enables partition pruning on read") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("part_tbl").toString + "/li"
