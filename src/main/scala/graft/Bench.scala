@@ -14,8 +14,29 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warm-up: JVM/codegen/scheduler spin-up otherwise lands on
     // whichever query happens to run first, skewing its number by ~4s.
+    // Exercise each hot code path once (vectorized parquet read, hash agg
+    // with decimal sums, shuffle, broadcast join, regex tokenize/explode)
+    // so per-query timings measure the PLAN, not first-use JIT; measured
+    // ~2 s once vs ~6 s spread across whichever queries run first.
     spark.range(1000).selectExpr("sum(id)").collect()
-    Tables.lineitem(spark, sfDir).limit(10).collect()
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("l_quantity")
+          .cast("long").cast("decimal(38,0)")))
+      .collect()
+    Tables.documents(spark, sfDir).limit(500)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.lower(
+            org.apache.spark.sql.functions.col("text")), " ")).as("t"))
+      .groupBy("t").count()
+      .join(org.apache.spark.sql.functions.broadcast(
+        Tables.region(spark, sfDir)),
+        org.apache.spark.sql.functions.col("t") ===
+          org.apache.spark.sql.functions.col("r_name"), "left_anti")
+      .count()
+    Cleanup(spark)
     // optional args = subset of query names (local iteration), run in ARG
     // order — the first query absorbs residual JIT warm-up, so subset
     // comparisons should lead with a sacrificial query; default all

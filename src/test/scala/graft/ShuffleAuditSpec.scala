@@ -1,0 +1,91 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Quantitative shuffle-volume audit: the SCALE.md claims are stated as
+  * byte bounds, not prose. Each test runs a declared query at sf0.01 and
+  * measures actual shuffle WRITE bytes via a stage listener — verifying
+  * the exchanges move aggregates/digests/keys, never the raw data, which
+  * is the property that holds unchanged at 100 TB.
+  */
+class ShuffleAuditSpec extends SparkSpec {
+
+  private val sf01 = "/root/testdata/sf0.01"
+
+  /** Total shuffle write bytes across all stages of `df`'s execution.
+    * Listener events are async: poll until the counter is stable. */
+  private def shuffleWriteBytes(df: DataFrame): Long = {
+    val bytes = new AtomicLong
+    val listener = new SparkListener {
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
+        bytes.addAndGet(e.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      df.count()
+      var prev = -1L
+      var stable = 0
+      var waited = 0
+      while (stable < 2 && waited < 5000) {
+        Thread.sleep(100); waited += 100
+        val cur = bytes.get()
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+      }
+      bytes.get()
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  private def relByName = graft.operators.Relational.all.map(q => q.name -> q).toMap
+  private def cooByName = graft.operators.CooQueries.all.map(q => q.name -> q).toMap
+  private def pipeByName = graft.operators.PipelineQueries.all.map(q => q.name -> q).toMap
+
+  test("Gram aggregate shuffles O(k^2 x partitions), independent of row count") {
+    // 60k input cells at sf0.01; the one-pass GramAggregator must ship
+    // only k*k partial buffers per task — a few KB — never the rows.
+    val b = shuffleWriteBytes(cooByName("q_gram").fn(spark, sf01))
+    withClue(s"shuffle bytes = $b:") { b should be < 64L * 1024 }
+  }
+
+  test("broadcast star join shuffles only the final groups, zero fact bytes") {
+    // lineitem (~60k rows, ~1.5 MB scanned) joined to three broadcast
+    // dims: the only exchange is the post-aggregation one on
+    // (r_name, n_name) — 25 groups x partitions.
+    val b = shuffleWriteBytes(relByName("q_join_broadcast").fn(spark, sf01))
+    withClue(s"shuffle bytes = $b:") { b should be < 64L * 1024 }
+  }
+
+  test("exact dedup shuffles digests, not document bytes") {
+    val docs = Tables.documents(spark, sf01)
+    val textBytes = docs.agg(sum(org.apache.spark.sql.functions.length(col("text")))).head().getLong(0)
+    val b = shuffleWriteBytes(pipeByName("q_dedup_exact").fn(spark, sf01))
+    // the exchange carries (md5, count, min_id) per partial group — must
+    // be well under the corpus text volume even at this tiny scale (at
+    // 100 TB the ratio is astronomic; here partial-agg row overhead eats
+    // some of it, hence the conservative 0.75 bound)
+    withClue(s"shuffle $b vs text $textBytes:") {
+      b should be < (textBytes * 3) / 4
+    }
+  }
+
+  test("decontamination's wide path moves 8-byte keys, not shingle strings") {
+    val docs = Tables.documents(spark, sf01)
+    val textBytes = docs.agg(sum(org.apache.spark.sql.functions.length(col("text")))).head().getLong(0)
+    val b = shuffleWriteBytes(pipeByName("q_decontaminate").fn(spark, sf01))
+    // xxhash64 keys + doc ids; shingle STRINGS would exceed the corpus
+    // text volume several times over (every token appears in ~8 shingles)
+    withClue(s"shuffle $b vs text $textBytes:") {
+      b should be < textBytes * 2
+    }
+  }
+
+  test("partial aggregation bounds the groupBy exchange by groups, not rows") {
+    // TPC-H Q1 shape: 60k rows, 6 groups — the exchange must carry
+    // |groups| x partitions rows only.
+    val b = shuffleWriteBytes(relByName("q_groupby_agg").fn(spark, sf01))
+    withClue(s"shuffle bytes = $b:") { b should be < 32L * 1024 }
+  }
+}
