@@ -622,6 +622,41 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** X5+: time-grid resampling with fill-forward (LOCF) — each user's
+    * irregular event stream aligned to an hourly grid carrying the last
+    * observation forward; the standard time-series alignment op, composed
+    * from `sequence`+`explode` (grid, bounded per user by range/step) and
+    * [[AsOf.asofJoin]] (one key shuffle). Ties at equal ts resolve via
+    * `max_by(value, event_id)` — `arg_max` in the DuckDB oracle — so the
+    * pre-aggregated right side is unique per (user, ts) as asofJoin
+    * requires. Grid points before a user's first observation drop (inner
+    * as-of). */
+  private val qFillForward = Q("q_fill_forward",
+    """WITH o AS (SELECT user_id, ts, arg_max(value, event_id) AS v
+      |           FROM events GROUP BY user_id, ts),
+      |b AS (SELECT user_id, date_trunc('hour', MIN(ts)) AS t0,
+      |             date_trunc('hour', MAX(ts)) AS t1
+      |      FROM events GROUP BY user_id),
+      |g AS (SELECT user_id,
+      |        unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS gts
+      |      FROM b)
+      |SELECT g.user_id, g.gts, o.v AS value
+      |FROM g ASOF JOIN o ON g.user_id = o.user_id AND o.ts <= g.gts
+      |ORDER BY g.user_id, g.gts""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val obs = ev.groupBy(col("user_id"), col("ts"))
+      .agg(max_by(col("value"), col("event_id")).as("v"))
+    val grid = ev.groupBy("user_id")
+      .agg(date_trunc("hour", min("ts")).as("t0"),
+        date_trunc("hour", max("ts")).as("t1"))
+      .select(col("user_id"),
+        explode(sequence(col("t0"), col("t1"), expr("INTERVAL 1 HOUR")))
+          .as("gts"))
+    AsOf.asofJoin(grid, obs, key = "user_id", leftTs = "gts")
+      .select(col("user_id"), col("gts"), col("r_v").as("value"))
+      .orderBy("user_id", "gts")
+  }
+
   /** X6+: PIVOT — wide crosstab via `groupBy().pivot(col, values)`. With
     * the pivot values listed explicitly the plan is a single partial+final
     * aggregate over conditional inputs (no extra pass to discover values
@@ -671,5 +706,5 @@ object Relational {
     qWindowRank, qWindowRunsum, qTopk, qUnion, qIntersect, qExcept,
     qStringDateFns, qJsonExtract, qEventTumble, qAggApprox, qAggCube, qJoinAsof,
     qPercentile, qEditDistance, qAggGroupingSets, qApproxPercentile,
-    qJoinSalted, qSaltedAgg, qSessionize, qPivot, qNtile)
+    qJoinSalted, qSaltedAgg, qSessionize, qPivot, qNtile, qFillForward)
 }
