@@ -402,6 +402,34 @@ object Relational {
       .orderBy("ws", "event_type")
   }
 
+  /** X15 batch form: SLIDING window (1 h width, 15 min slide) — each
+    * event lands in width/slide = 4 overlapping windows, exactly what
+    * Structured Streaming's `window(ts, "1 hour", "15 minutes")` produces.
+    * The oracle derives the same 4 window starts per event with
+    * `time_bucket` + `generate_series`. Fan-out is the fixed width/slide
+    * factor (narrow explode), then one partial+final aggregate — the
+    * 100 TB cost model is identical to the tumbling case × the overlap
+    * factor. Completes the oracle-checked window family:
+    * tumble (q_event_tumble) / slide (this) / session (q_sessionize). */
+  private val qEventSlide = Q("q_event_slide",
+    """WITH w AS (SELECT event_type, value,
+      |  unnest(generate_series(
+      |    time_bucket(INTERVAL 15 MINUTE, ts) - INTERVAL 45 MINUTE,
+      |    time_bucket(INTERVAL 15 MINUTE, ts),
+      |    INTERVAL 15 MINUTE)) AS ws
+      |  FROM events)
+      |SELECT ws, event_type, COUNT(*) AS n,
+      |  ROUND(SUM(CAST(ROUND(value*100) AS BIGINT))/100.0, 2) AS sum_value
+      |FROM w GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin) {
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Q.exactSum(col("value"), 2).as("sum_value"))
+        .select(col("window.start").as("ws"), col("event_type"), col("n"),
+          col("sum_value"))
+        .orderBy("ws", "event_type")
+  }
+
   /** X5+: as-of join — each purchase matched to the most recent prior (or
     * same-instant) error of the same user. DuckDB's native ASOF JOIN is
     * the oracle; the Spark side is [[AsOf.asofJoin]] (union + running
@@ -706,5 +734,6 @@ object Relational {
     qWindowRank, qWindowRunsum, qTopk, qUnion, qIntersect, qExcept,
     qStringDateFns, qJsonExtract, qEventTumble, qAggApprox, qAggCube, qJoinAsof,
     qPercentile, qEditDistance, qAggGroupingSets, qApproxPercentile,
-    qJoinSalted, qSaltedAgg, qSessionize, qPivot, qNtile, qFillForward)
+    qJoinSalted, qSaltedAgg, qSessionize, qPivot, qNtile, qFillForward,
+    qEventSlide)
 }
