@@ -93,4 +93,29 @@ class AsOfSpec extends SparkSpec {
 
     got shouldBe brute
   }
+
+  test("fill-forward resampling equals the brute-force last-observation lookup") {
+    // q_fill_forward's composition (sequence/explode grid + asofJoin)
+    // against an independent O(grid x events) formulation at sf0.001
+    val byName = graft.operators.Relational.all.map(q => q.name -> q).toMap
+    val got = byName("q_fill_forward").fn(spark, sfDir)
+
+    val ev = Tables.events(spark, sfDir)
+    val obs = ev.groupBy(col("user_id"), col("ts"))
+      .agg(max_by(col("value"), col("event_id")).as("v"))
+    val grid = ev.groupBy("user_id")
+      .agg(date_trunc("hour", min("ts")).as("t0"),
+        date_trunc("hour", max("ts")).as("t1"))
+      .select(col("user_id"),
+        explode(sequence(col("t0"), col("t1"), expr("INTERVAL 1 HOUR")))
+          .as("gts"))
+    val brute = grid.join(obs, Seq("user_id"))
+      .filter(col("ts") <= col("gts"))
+      .groupBy("user_id", "gts")
+      .agg(max_by(col("v"), col("ts")).as("value"))
+
+    got.count() should be > 0L
+    got.except(brute).count() shouldBe 0
+    brute.except(got).count() shouldBe 0
+  }
 }
