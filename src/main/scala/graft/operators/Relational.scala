@@ -685,6 +685,54 @@ object Relational {
       .orderBy("user_id", "gts")
   }
 
+  /** X6+: second-moment statistics (stddev / covariance / correlation)
+    * from EXACT integer moments: the float builtins (`corr`, `covar_samp`,
+    * `stddev`) are non-reassociative across partitionings and engines, so
+    * the declared form accumulates Σx, Σy, Σx², Σy², Σxy as exact BIGINT
+    * sums of quantized inputs (partial+final, any order) and applies the
+    * closed-form moment formulas once per group — deterministic at any
+    * scale/partitioning, same distributed cost as a plain aggregate. */
+  private val qMomentsStats = Q("q_moments_stats",
+    """WITH m AS (SELECT l_returnflag, COUNT(*) AS n,
+      |    SUM(CAST(l_quantity AS BIGINT)) AS sx,
+      |    SUM(CAST(ROUND(l_discount*100) AS BIGINT)) AS sy,
+      |    SUM(CAST(l_quantity AS BIGINT)*CAST(l_quantity AS BIGINT)) AS sxx,
+      |    SUM(CAST(ROUND(l_discount*100) AS BIGINT)
+      |      * CAST(ROUND(l_discount*100) AS BIGINT)) AS syy,
+      |    SUM(CAST(l_quantity AS BIGINT)
+      |      * CAST(ROUND(l_discount*100) AS BIGINT)) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag,
+      |  ROUND(SQRT((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*sx/n)/(n-1)), 6)
+      |    AS sd_qty,
+      |  ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*sy/n)/(n-1), 6)
+      |    AS cov_qd,
+      |  ROUND((n*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*sy) /
+      |    SQRT((n*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*sx)
+      |       * (n*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*sy)), 6) AS corr_qd
+      |FROM m ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val x = col("l_quantity").cast("long")
+    val y = round(col("l_discount") * 100).cast("long")
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+      .select(col("l_returnflag"),
+        round(sqrt((col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx") / col("n")) / (col("n") - 1)),
+          6).as("sd_qty"),
+        round((col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy") / col("n")) / (col("n") - 1),
+          6).as("cov_qd"),
+        round((col("n") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy")) /
+          sqrt((col("n") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx")) *
+            (col("n") * col("syy").cast("double") -
+              col("sy").cast("double") * col("sy"))), 6).as("corr_qd"))
+      .orderBy("l_returnflag")
+  }
+
   /** X6+: PIVOT — wide crosstab via `groupBy().pivot(col, values)`. With
     * the pivot values listed explicitly the plan is a single partial+final
     * aggregate over conditional inputs (no extra pass to discover values
@@ -735,5 +783,5 @@ object Relational {
     qStringDateFns, qJsonExtract, qEventTumble, qAggApprox, qAggCube, qJoinAsof,
     qPercentile, qEditDistance, qAggGroupingSets, qApproxPercentile,
     qJoinSalted, qSaltedAgg, qSessionize, qPivot, qNtile, qFillForward,
-    qEventSlide)
+    qEventSlide, qMomentsStats)
 }
