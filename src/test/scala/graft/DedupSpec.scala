@@ -85,6 +85,30 @@ class DedupSpec extends SparkSpec {
     sh.select("doc_id").distinct().count() shouldBe 800L
   }
 
+  test("inverted-list pair generation equals the self-join formulation") {
+    // the declared queries emit per-shingle C(df,2) combinations off the
+    // posting lists; the sh JOIN sh ON same-shingle form is the baseline
+    val docs = Tables.documents(spark, sfDir)
+    val P = graft.operators.PipelineQueries
+    val got = P.shingleInterOf(P.rareShingleListsOf(docs)).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) ->
+        r.getAs[Long]("inter")).toMap
+    val sh = P.rareShinglesOf(docs)
+    val want = sh.as("x").join(sh.as("y"),
+      col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("inter")).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
+        r.getAs[Long]("inter")).toMap
+    got shouldBe want
+    // and the per-doc sizes agree with the flat rare set
+    val gotSz = P.shingleSizesOf(P.rareShingleListsOf(docs)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("sz")).toMap
+    val wantSz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("sz")).toMap
+    gotSz shouldBe wantSz
+  }
+
   test("narrow shinglesOf equals the window-based shingles, with no Exchange") {
     import graft.functions.TextFns
     val docs = Tables.documents(spark, sfDir)
