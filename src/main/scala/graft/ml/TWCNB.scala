@@ -47,13 +47,18 @@ object TWCNB {
     // ntc is the corpus boundary: everything upstream of `weighted` is
     // corpus-sized, everything from here on is model-sized (|V|·L). ntc
     // feeds 4 plan positions (both grid distincts, tot, the comp join)
-    // that Catalyst does not dedupe — at corpus scale, persist/checkpoint
-    // `weighted` (or ntc) at the CALL SITE so the corpus chain runs once;
-    // the library deliberately does not force a materialization (measured
-    // here: an unconditional persist serializes the plan into sequential
-    // cache-build jobs and is 2-4× slower at bench scale, where the
-    // re-aggregations are cheap).
+    // that Catalyst does not dedupe — so ntc is persisted HERE, at the
+    // model boundary: the corpus-sized tokenize/aggregate chain runs
+    // exactly once (into the |V|·L-row cache), and the 4 consumers read
+    // the cache. Persisting `weighted` instead would cache a corpus-sized
+    // table (measured 2-4× slower at bench scale from cache-build
+    // serialization); ntc is model-sized, so its cache cost is noise.
+    // Lifecycle: the cache lives until the caller/harness frees it (the
+    // Verify/Bench harness runs [[graft.Cleanup]] after each query's
+    // terminal action; library users unpersist via
+    // spark.sharedState.cacheManager or catalog.clearCache).
     val ntc = weighted.groupBy("label", "term").agg(sum("f").as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val grid = ntc.select("label").distinct()
       .crossJoin(ntc.select("term").distinct())
     val tot = ntc.groupBy("term").agg(sum("n").as("tot"))

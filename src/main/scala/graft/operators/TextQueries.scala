@@ -151,9 +151,18 @@ object TextQueries {
        |FROM tf JOIN model m USING (term)
        |GROUP BY tf.doc_id, m.label ORDER BY doc_id, label""".stripMargin) {
     (s, d) =>
-      val toks = TextFns.tokens(Tables.documents(s, d))
-      val model = TWCNB.train(toks.select(col("lang").as("label"), col("term")))
-      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      // one corpus pass: aggregate tokens to the (doc, label, term) tf
+      // matrix once and persist it — BOTH the model input (sum over docs)
+      // and the scoring tf matrix (project out label) derive from it, so
+      // the corpus is tokenized exactly once per query (r3 verdict: the
+      // tf branch re-tokenized). The tf matrix is what the reference
+      // materializes too (drmTfIdf, NaiveBayesServlet.scala:90-101).
+      val tf3 = TextFns.tokens(Tables.documents(s, d))
+        .groupBy("doc_id", "lang", "term").agg(count(lit(1)).as("tf"))
+        .persist()
+      val model = TWCNB.trainWeighted(
+        tf3.select(col("lang").as("label"), col("term"), col("tf").as("f")))
+      val tf = tf3.select("doc_id", "term", "tf")
       // no broadcast hint: the model is |V|·L rows (vocabulary-sized at
       // corpus scale) — see [[graft.ml.TWCNB.score]]
       TWCNB.score(tf, model)
@@ -191,8 +200,11 @@ object TextQueries {
        |  theta / SUM(ABS(theta)) OVER (PARTITION BY label) AS w FROM theta)
        |SELECT label, term, ROUND(w, 6) AS w FROM model
        |ORDER BY label, term""".stripMargin) { (s, d) =>
+    // tf feeds two plan positions (the df counts and the tfidf weights):
+    // persist the doc×term matrix so the corpus is tokenized once
     val tf = TextFns.tokens(Tables.documents(s, d))
       .groupBy("doc_id", "lang", "term").agg(count(lit(1)).as("tf"))
+      .persist()
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = Tables.documents(s, d)
       .select(count(lit(1)).cast("double").as("n"))

@@ -82,6 +82,52 @@ class ShuffleAuditSpec extends SparkSpec {
     }
   }
 
+  /** Count distinct scans of the `documents` parquet in `plan`, descending
+    * through AQE wrappers, query stages, reused exchanges and — crucially —
+    * into cached relations' build plans (each distinct cache counted once:
+    * that is the scan that actually runs; its InMemoryTableScan readers
+    * are cache hits, not corpus scans). */
+  private def documentScans(plan: org.apache.spark.sql.execution.SparkPlan,
+      seen: scala.collection.mutable.Set[AnyRef] =
+        scala.collection.mutable.Set.empty): Int = {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    plan match {
+      case a: AdaptiveSparkPlanExec => documentScans(a.executedPlan, seen)
+      case q: QueryStageExec => documentScans(q.plan, seen)
+      case _: ReusedExchangeExec => 0 // already counted at the original
+      case m: InMemoryTableScanExec =>
+        if (seen.add(m.relation.cacheBuilder))
+          documentScans(m.relation.cachedPlan, seen)
+        else 0
+      case f: FileSourceScanExec =>
+        // a COUNT(*) scan reads zero columns (parquet footer counts only)
+        // — that is metadata, not a pass over the corpus bytes
+        if (f.relation.location.rootPaths.exists(_.toString.contains("documents"))
+            && f.requiredSchema.nonEmpty) 1 else 0
+      case other => other.children.map(documentScans(_, seen)).sum
+    }
+  }
+
+  private def textByName = graft.operators.TextQueries.all.map(q => q.name -> q).toMap
+
+  test("TWCNB declared queries run the corpus-side scan exactly once") {
+    // r3 verdict #1: ntc feeds 4 plan positions Catalyst won't dedupe —
+    // with ntc persisted at the model boundary (TWCNB.trainWeighted) and
+    // the scoring tf derived from the same persisted tf matrix, each
+    // declared query's full plan tree must contain exactly ONE scan of
+    // the documents table; everything else rides the model-sized cache.
+    for (name <- Seq("q_twcnb_model", "q_twcnb_tfidf", "q_nb_score")) {
+      val df = textByName(name).fn(spark, sf01)
+      df.count() // materialize: proves the cached shape actually executes
+      val n = documentScans(df.queryExecution.executedPlan)
+      withClue(s"$name corpus scans = $n:") { n shouldBe 1 }
+      Cleanup(spark)
+    }
+  }
+
   test("partial aggregation bounds the groupBy exchange by groups, not rows") {
     // TPC-H Q1 shape: 60k rows, 6 groups — the exchange must carry
     // |groups| x partitions rows only.
