@@ -65,6 +65,24 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("star contraction equals label propagation on random graphs (differential)") {
+    import spark.implicits._
+    // two independently-derived fixpoints: the production alternating
+    // large-star/small-star contraction vs the pointer-jumping label
+    // propagation baseline. Self-loops deliberately left in (both must
+    // label a self-loop-only node with itself).
+    val rnd = new scala.util.Random(99)
+    for (_ <- 1 to 3) {
+      val n = 80
+      val edges = (Seq.fill(100)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)) ++
+        (40L until 70L).map(i => (i, i + 1))).toDF("a", "b")
+      def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("comp")).toMap
+      toMap(Dedup.connectedComponents(edges)) shouldBe
+        toMap(Dedup.connectedComponentsProp(edges))
+    }
+  }
+
   test("boilerplate cap bounds candidate pairs under heavy shingle skew") {
     import spark.implicits._
     // 800 docs all sharing one boilerplate sentence (every doc also has
