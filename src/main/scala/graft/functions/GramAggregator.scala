@@ -15,7 +15,9 @@ import org.apache.spark.sql.expressions.Aggregator
   * formulation ([[graft.operators.Coo.gram]]) this trades the n·k² joined
   * cells shuffle for a single map-side pass with a k²-double buffer merged
   * tree-wise — the right shape for tall-skinny (n ≫ k) matrices at 100 TB.
-  * Holds k ≲ 2000 (buffer = 8·k² bytes).
+  * Holds k ≲ 2000 (buffer = 8·k² bytes); beyond that use
+  * [[graft.operators.BlockGram.gramBlocked]], whose buffers are bounded by
+  * the tile size independent of k.
   *
   * Addition order differs from the sequential sum only in partition
   * grouping; with quantized integer-valued inputs (the determinism

@@ -15,9 +15,11 @@ import org.apache.spark.sql.functions._
   * whatever `javax.sound.sampled` handles, PCM signed/unsigned 8/16/32
   * bit) through [[WavCodec]]; the synthetic "fake"-mime assets derived
   * from `documents` (payload = text bytes, not an encoded payload) keep
-  * the deterministic [[FakeCodec]]/[[FakeAudioCodec]]. Only VIDEO decode
-  * remains stubbed (no video codec in the JDK) — the frame-sampling
-  * kernel is real, the per-frame byte source is fake.
+  * the deterministic [[FakeCodec]]/[[FakeAudioCodec]]. Video CONTAINER
+  * metadata (MP4 boxes, AVI headers) parses for real through
+  * [[VideoContainer]]; only video PIXEL decode remains stubbed (no video
+  * codec in the JDK) — the frame-sampling kernel is real, the per-frame
+  * byte source is fake.
   *
   * Scale notes: payload bytes never enter a shuffle — all kernels are
   * narrow (partition-local), so the only data movement is the initial scan.
@@ -44,6 +46,9 @@ object Multimodal {
       histogram: Array[Double])
   final case class VideoFrame(asset_id: Long, frame_idx: Int,
       pixels: Array[Byte])
+  final case class VideoInfo(asset_id: Long, format: String,
+      duration_s: Double, timescale: Long, n_tracks: Int,
+      width: Int, height: Int)
 
   /** Real image decode via the JDK-bundled `javax.imageio` (zero new
     * dependencies): bytes → BufferedImage → row-major channel-interleaved
@@ -303,6 +308,26 @@ object Multimodal {
       var b = 0
       while (b < 8) { hist(b) /= nPix; b += 1 }
       ImageFeatures(img.asset_id, means, hist)
+    })
+  }
+
+  /** Container-level video metadata — REAL parsing for real payloads:
+    * MP4 box trees and RIFF AVI headers go through [[VideoContainer]]
+    * (duration, timescale, track count, geometry from the actual bytes);
+    * only the synthetic "video/fake" corpus falls back to the declared
+    * meta struct. Narrow kernel (payloads never shuffle); unparseable
+    * real payloads are dropped, not thrown — the [[decodeAssetSafe]]
+    * quarantine discipline. */
+  def videoMetadata(assets: Dataset[Asset]): Dataset[VideoInfo] = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.modality == "video").mapPartitions(_.flatMap { a =>
+      if (a.meta.mime.endsWith("/fake"))
+        Some(VideoInfo(a.asset_id, "fake", a.meta.nFrames / 24.0, 24L, 1,
+          a.meta.width, a.meta.height))
+      else
+        VideoContainer.parse(a.content).map(m =>
+          VideoInfo(a.asset_id, m.format, m.durationS, m.timescale,
+            m.nTracks, m.width, m.height))
     })
   }
 

@@ -103,6 +103,37 @@ object CooQueries {
     s.createDataFrame(toGramCells(g)).toDF("i", "j", "v").orderBy("i", "j")
   }
 
+  /** A3 wide-k fallback: [[BlockGram.gramBlocked]] over a ~4096-column
+    * term-bucket document matrix — the k beyond [[GramAggregator]]'s
+    * documented dense-buffer range, where the tiled path is the declared
+    * physical form. The bucket function is engine-portable arithmetic
+    * (length/ascii — identical in Spark and DuckDB), cells are 0/1
+    * co-occurrence indicators, so every sum is integer-exact. Output is
+    * the per-row profile of the Gram (nnz + row total) to keep the
+    * oracle compact while every tile of the k×k result is computed. */
+  private val qGramBlocked = Q("q_gram_blocked",
+    s"""WITH ${graft.functions.TextFns.tokSql},
+       |cells AS (SELECT DISTINCT doc_id AS i,
+       |    CAST((length(term)*97 + ascii(substr(term,1,1))*31 +
+       |          ascii(substr(term, length(term), 1))) % 4096 AS BIGINT) AS j
+       |  FROM tokf),
+       |g AS (SELECT a.j AS i, b.j AS j, COUNT(*) AS v
+       |      FROM cells a JOIN cells b ON a.i = b.i GROUP BY 1, 2)
+       |SELECT i, COUNT(*) AS nnz, CAST(SUM(v) AS BIGINT) AS tot
+       |FROM g GROUP BY i ORDER BY i""".stripMargin) { (s, d) =>
+    val cells = graft.functions.TextFns.tokens(Tables.documents(s, d))
+      .select(col("doc_id").as("i"),
+        expr("CAST((length(term)*97 + ascii(substring(term,1,1))*31 + " +
+          "ascii(substring(term, length(term), 1))) % 4096 AS BIGINT)")
+          .as("j"))
+      .distinct()
+      .withColumn("v", lit(1.0))
+    BlockGram.gramBlocked(cells, tile = 512, rowBlock = 1024)
+      .groupBy("i")
+      .agg(count(lit(1)).as("nnz"), sum(col("v")).cast("long").as("tot"))
+      .orderBy("i")
+  }
+
   /** A4: matrix × broadcast vector. */
   private val qMatvec = Q("q_matvec",
     s"""WITH $matASql,
@@ -372,7 +403,8 @@ object CooQueries {
       .orderBy("n_nationkey")
   }
 
-  val all: Seq[Q] = Seq(qTranspose, qMatmul, qGram, qUdafGram, qMatvec,
+  val all: Seq[Q] = Seq(qTranspose, qMatmul, qGram, qUdafGram, qGramBlocked,
+    qMatvec,
     qCbindScalar, qRbindUnion, qColsums, qRowsums, qSliceCols, qEwiseLog,
     qEwiseNorm, qAbsColsums, qFroNorm, qPairwiseDist, qDiagReg, qRekeyJoin,
     qComplement, qEwiseSubRowsum, qNonemptyRows, qLabelHistogram, qSampleK,

@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.JoinedRow
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -8,33 +10,62 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * `row_number()/ntile() OVER (ORDER BY ...)` with an empty partitionBy,
   * whose single window partition funnels the ENTIRE table through one
   * task. Here the sort is Spark's range-partitioned distributed sort and
-  * the per-row index comes from RDD `zipWithIndex` (one extra count job to
+  * the per-row index comes from per-partition offsets (one count job to
   * learn partition sizes, then a narrow map — no row ever leaves its
   * partition to be numbered).
+  *
+  * Stays inside Tungsten end to end: the numbering runs over
+  * `queryExecution.toRdd` (InternalRow — no external-Row codec), appends
+  * the index as one long, and re-enters the DataFrame world through
+  * [[org.apache.spark.sql.GraftSqlBridge]]. Both jobs (count pass, map
+  * pass) share one RDD lineage, so the sort's shuffle files are written
+  * once and the map pass skips the scan+sort stage entirely — the table
+  * is read once, not per-job.
   *
   * Deterministic only when the sort columns form a total order (unique
   * key); the callers below all sort on a key-suffixed column list.
   */
 object Rank {
 
-  /** Append a 0-based dense global row index in the order of `sortCols`. */
-  def withRowIndex(df: DataFrame, sortCols: String*): DataFrame = {
+  /** Append a 0-based dense global row index in the order of `sortCols`,
+    * and return the total row count alongside — the count pass the
+    * numbering needs anyway learns n for free, so callers that want both
+    * (ntile's bucket arithmetic) don't pay a separate `df.count()` scan.
+    */
+  def withRowIndexAndCount(df: DataFrame, sortCols: String*)
+      : (DataFrame, Long) = {
     val sorted = df.orderBy(sortCols.map(col): _*)
+    val rdd = sorted.queryExecution.toRdd
+    val counts = rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)),
+        preservesPartitioning = true)
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val indexed = rdd.mapPartitionsWithIndex[InternalRow] { (i, it) =>
+      var idx = offsets(i) - 1
+      // copy(): sort readers reuse the UnsafeRow buffer per element; the
+      // appended row must own its bytes. Still a flat byte copy — not the
+      // external-Row decode the previous df.rdd formulation paid.
+      it.map { r => idx += 1; new JoinedRow(r.copy(), InternalRow(idx)) }
+    }
     val schema = StructType(sorted.schema.fields :+
       StructField("idx", LongType, nullable = false))
-    sorted.sparkSession.createDataFrame(
-      sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
-      schema)
+    (GraftSqlBridge.internalRowsToDf(sorted.sparkSession, indexed, schema),
+      offsets.last)
   }
 
+  /** Append a 0-based dense global row index in the order of `sortCols`. */
+  def withRowIndex(df: DataFrame, sortCols: String*): DataFrame =
+    withRowIndexAndCount(df, sortCols: _*)._1
+
   /** SQL `ntile(k) OVER (ORDER BY sortCols)` without the single-task
-    * window: rank via [[withRowIndex]], then the standard ntile split in
-    * arithmetic — the first n % k buckets get ⌈n/k⌉ rows, the rest ⌊n/k⌋
-    * (identical to the SQL definition, asserted against DuckDB by
-    * q_ntile's oracle). `n` rides in as two scalar literals; the count
-    * job zipWithIndex runs anyway learns it for free at the call site. */
-  def globalNtile(df: DataFrame, k: Int, n: Long,
-      sortCols: String*): DataFrame = {
+    * window: rank via [[withRowIndexAndCount]], then the standard ntile
+    * split in arithmetic — the first n % k buckets get ⌈n/k⌉ rows, the
+    * rest ⌊n/k⌋ (identical to the SQL definition, asserted against DuckDB
+    * by q_ntile's oracle). n comes from the numbering pass itself — no
+    * extra scan at the call site. */
+  def globalNtile(df: DataFrame, k: Int, sortCols: String*): DataFrame = {
+    val (ranked, n) = withRowIndexAndCount(df, sortCols: _*)
     val size = n / k
     val rem = n % k
     // n < k degenerates to bucket = rank (size = 0 would divide by zero)
@@ -42,7 +73,7 @@ object Rank {
     else when(col("idx") < rem * (size + 1),
       col("idx") / (size + 1))
       .otherwise(lit(rem) + (col("idx") - rem * (size + 1)) / size)
-    withRowIndex(df, sortCols: _*)
+    ranked
       .withColumn("ntile", (floor(bucket) + 1).cast("long"))
       .drop("idx")
   }

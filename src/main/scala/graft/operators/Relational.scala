@@ -759,10 +759,11 @@ object Relational {
   }
 
   /** X6+: global NTILE without the single-task window —
-    * [[Rank.globalNtile]] (distributed sort + zipWithIndex + arithmetic
-    * bucket split) against DuckDB's native ntile() as the oracle. The
-    * count that sizes the buckets is a driver scalar (one distributed
-    * count), not a collect of data. */
+    * [[Rank.globalNtile]] (distributed sort + per-partition offsets +
+    * arithmetic bucket split) against DuckDB's native ntile() as the
+    * oracle. The count that sizes the buckets comes from the numbering
+    * pass itself — the table is scanned once, its sort shuffle reused by
+    * the map pass. */
   private val qNtile = Q("q_ntile",
     """WITH r AS (SELECT o_totalprice,
       |  ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
@@ -771,7 +772,7 @@ object Relational {
       |  ROUND(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))/100.0, 2) AS total
       |FROM r GROUP BY decile ORDER BY decile""".stripMargin) { (s, d) =>
     val o = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
-    Rank.globalNtile(o, 10, o.count(), "o_totalprice", "o_orderkey")
+    Rank.globalNtile(o, 10, "o_totalprice", "o_orderkey")
       .groupBy(col("ntile").as("decile"))
       .agg(count(lit(1)).as("n"), Q.exactSum(col("o_totalprice"), 2).as("total"))
       .orderBy("decile")

@@ -23,6 +23,29 @@ class CooAlgebraSpec extends SparkSpec {
     maxAbsDiff(lhs, rhs) shouldBe 0.0
   }
 
+  test("gramBlocked equals the self-join gram (ragged tiles, k=37)") {
+    import graft.operators.BlockGram
+    // tile=8 / rowBlock=16 force many partial edge tiles and multi-block rows
+    val m = cooOf(randomCoo(200, 37, 0.2, seed = 777))
+    maxAbsDiff(cells(BlockGram.gramBlocked(m, tile = 8, rowBlock = 16)),
+      cells(Coo.gram(m))) shouldBe 0.0
+  }
+
+  test("gramBlocked at k=5000 — beyond the dense aggregator's range") {
+    import graft.operators.BlockGram
+    // 3000×5000, ~8 nnz/row: GramAggregator's 8·k² buffer would be 200 MB
+    // per task here; the tiled path caps every buffer at 8·1024²
+    val raw = randomCoo(3000, 5000, 8.0 / 5000, seed = 31337)
+    val got = cells(BlockGram.gramBlocked(cooOf(raw)))
+    val want = scala.collection.mutable.HashMap.empty[(Long, Long), Double]
+    for {
+      (_, rowCells) <- raw.groupBy(_._1)
+      (_, ja, va) <- rowCells
+      (_, jb, vb) <- rowCells
+    } want((ja, jb)) = want.getOrElse((ja, jb), 0.0) + va * vb
+    maxAbsDiff(got, want.toMap) shouldBe 0.0
+  }
+
   test("gram(A) = At A via matmul, and is symmetric") {
     val g = cells(Coo.gram(mA))
     val viaMatmul = cells(Coo.matmul(Coo.transpose(mA), mA))

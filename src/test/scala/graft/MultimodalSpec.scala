@@ -207,4 +207,102 @@ class MultimodalSpec extends SparkSpec {
       "brightness")
     df.count() shouldBe assets.count()
   }
+
+  // --- real container fixtures: MP4 box tree / RIFF AVI, byte-built ---
+
+  private def be32(v: Long): Array[Byte] = Array(
+    (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+  private def be16(v: Int): Array[Byte] = Array((v >> 8).toByte, v.toByte)
+  private def le32(v: Long): Array[Byte] = Array(
+    v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+  private def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+  private def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+    val p = payload.flatten.toArray
+    be32(8L + p.length) ++ cc(typ) ++ p
+  }
+
+  /** Minimal VALID MP4: ftyp + moov(mvhd v0 + trak(tkhd v0 + mdia(hdlr
+    * vide))). mvhd: timescale 600, duration 1800 (3.0 s); tkhd geometry
+    * 640×360 as 16.16 fixed. */
+  private def mp4Bytes: Array[Byte] = {
+    val mvhd = box("mvhd", Array[Byte](0, 0, 0, 0), // version 0 + flags
+      be32(0), be32(0),                             // creation, modification
+      be32(600), be32(1800),                        // timescale, duration
+      be32(0x00010000L), be16(0x0100), be16(0),     // rate, volume, reserved
+      new Array[Byte](8),                           // reserved
+      new Array[Byte](36),                          // matrix
+      new Array[Byte](24),                          // pre_defined
+      be32(2))                                      // next_track_id
+    val tkhd = box("tkhd", Array[Byte](0, 0, 0, 7),
+      be32(0), be32(0), be32(1), be32(0), be32(1800), // cre, mod, id, res, dur
+      new Array[Byte](8),                             // reserved
+      be16(0), be16(0), be16(0), be16(0),             // layer, group, vol, res
+      new Array[Byte](36),                            // matrix
+      be32(640L << 16), be32(360L << 16))             // width, height (16.16)
+    val hdlr = box("hdlr", Array[Byte](0, 0, 0, 0),
+      be32(0), cc("vide"), new Array[Byte](12), Array[Byte](0))
+    val ftyp = box("ftyp", cc("isom"), be32(512), cc("isom"), cc("iso2"))
+    ftyp ++ box("moov", mvhd, box("trak", tkhd, box("mdia", hdlr)))
+  }
+
+  /** Minimal VALID AVI: RIFF(AVI  LIST(hdrl avih)): 40 ms/frame × 250
+    * frames = 10.0 s, 2 streams, 320×240. */
+  private def aviBytes: Array[Byte] = {
+    val avih = cc("avih") ++ le32(56) ++
+      le32(40000) ++ le32(0) ++ le32(0) ++ le32(0) ++ // usPerFrame..flags
+      le32(250) ++ le32(0) ++ le32(2) ++ le32(0) ++   // totalFrames..sugBuf
+      le32(320) ++ le32(240) ++ new Array[Byte](16)   // width, height, res
+    val hdrl = cc("LIST") ++ le32(4L + avih.length) ++ cc("hdrl") ++ avih
+    cc("RIFF") ++ le32(4L + hdrl.length) ++ cc("AVI ") ++ hdrl
+  }
+
+  test("MP4 box walk extracts real duration, geometry, tracks, handler") {
+    val m = multimodal.VideoContainer.parse(mp4Bytes).get
+    m.format shouldBe "mp4"
+    m.durationS shouldBe 3.0
+    m.timescale shouldBe 600L
+    m.nTracks shouldBe 1
+    (m.width, m.height) shouldBe ((640, 360))
+    m.handlers shouldBe Seq("vide")
+  }
+
+  test("AVI header walk extracts real duration, streams, geometry") {
+    val m = multimodal.VideoContainer.parse(aviBytes).get
+    m.format shouldBe "avi"
+    m.durationS shouldBe 10.0
+    m.nTracks shouldBe 2
+    (m.width, m.height) shouldBe ((320, 240))
+  }
+
+  test("container parser rejects garbage and truncation without throwing") {
+    multimodal.VideoContainer.parse("not a video".getBytes) shouldBe None
+    multimodal.VideoContainer.parse(Array.empty[Byte]) shouldBe None
+    // truncate mid-moov: walk stops cleanly; ftyp alone yields no facts
+    multimodal.VideoContainer.parse(mp4Bytes.take(40)) shouldBe None
+  }
+
+  test("videoMetadata kernel: real MP4/AVI parse + fake-corpus fallback") {
+    import spark.implicits._
+    import Multimodal._
+    val real = Seq(
+      Asset(900L, "video", mp4Bytes,
+        AssetMeta(0, 0, 0, 0, 0, "video/mp4")),
+      Asset(901L, "video", aviBytes,
+        AssetMeta(0, 0, 0, 0, 0, "video/avi")),
+      Asset(902L, "video", "corrupt".getBytes,
+        AssetMeta(0, 0, 0, 0, 0, "video/mp4")), // quarantined, not thrown
+      Asset(903L, "image", mp4Bytes,
+        AssetMeta(0, 0, 0, 0, 0, "image/fake"))) // not a video: filtered
+    val infos = videoMetadata(real.toDS()).collect().sortBy(_.asset_id)
+    infos.map(_.asset_id).toSeq shouldBe Seq(900L, 901L)
+    infos(0).format shouldBe "mp4"
+    infos(0).duration_s shouldBe 3.0
+    (infos(0).width, infos(0).height) shouldBe ((640, 360))
+    infos(1).format shouldBe "avi"
+    infos(1).duration_s shouldBe 10.0
+    // the synthetic corpus routes through the declared fallback
+    val fake = videoMetadata(assets).collect()
+    fake.length should be > 0
+    all(fake.map(_.format)) shouldBe "fake"
+  }
 }

@@ -162,7 +162,7 @@ class ScaleTechniquesSpec extends SparkSpec {
     // sizes exercising n % k == 0, n % k != 0, and n < k
     for ((n, k) <- Seq((100, 10), (103, 10), (7, 10), (1, 3))) {
       val df = (0 until n).map(i => ((i * 7919) % n, i)).toDF("key", "tie")
-      val got = Rank.globalNtile(df, k, n.toLong, "key", "tie")
+      val got = Rank.globalNtile(df, k, "key", "tie")
       val want = df.withColumn("ntile",
         ntile(k).over(Window.orderBy("key", "tie")).cast("long"))
       withClue(s"n=$n k=$k:") {
@@ -171,6 +171,24 @@ class ScaleTechniquesSpec extends SparkSpec {
         got.queryExecution.executedPlan.toString should not include "Window"
       }
     }
+  }
+
+  test("withRowIndexAndCount stays in Tungsten and returns n for free") {
+    import graft.operators.Rank
+    import spark.implicits._
+    val df = (0 until 257).map(i => ((i * 31) % 257, s"v$i")).toDF("key", "v")
+    val (ranked, n) = Rank.withRowIndexAndCount(df, "key")
+    n shouldBe 257
+    // dense 0-based index in key order
+    ranked.orderBy("idx").select("key").as[Int].collect() shouldBe
+      (0 until 257).map(i => (i * 31) % 257).sorted
+    ranked.agg(min("idx"), max("idx")).head() shouldBe
+      org.apache.spark.sql.Row(0L, 256L)
+    // the returned frame reads the already-numbered RDD — no re-scan of
+    // the input, no external-Row round trip in the plan
+    val plan = ranked.queryExecution.executedPlan.toString
+    plan should include("ExistingRDD")
+    plan should not include "LocalTableScan"
   }
 
   test("q_ntile plan contains no single-partition Window") {

@@ -288,4 +288,97 @@ class StreamingSpec extends SparkSpec {
       got.toSet shouldBe all.map(_.event_id).toSet
     } finally q.stop()
   }
+
+  // --- streaming corpus ingest: content dedup with watermark TTL ---
+
+  import graft.streaming.CorpusIngest
+  import graft.streaming.CorpusIngest.Doc
+  import org.apache.spark.sql.Dataset
+
+  /** Minutes → Timestamp, offset well past epoch 0: the stream's initial
+    * watermark IS 0, and a stateful operator treats event-time ≤ watermark
+    * as late data to drop — epoch-0 rows silently vanish. */
+  private def tmin(min: Long): Timestamp =
+    new Timestamp((1000000 + min) * 60000L)
+
+  private def vocabText(seed: Int, words: Int): String = {
+    val rnd = new scala.util.Random(seed)
+    (0 until words).map(_ => s"w${rnd.nextInt(500)}").mkString(" ")
+  }
+
+  /** Feed doc batches through a CorpusIngest transform in append mode,
+    * collecting the full output. */
+  private def runCorpusStream(batches: Seq[Seq[Doc]],
+      transform: Dataset[Doc] => Dataset[_]): Seq[org.apache.spark.sql.Row] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val name = s"corpus_out_${System.nanoTime()}"
+    val q = transform(mem.toDS()).toDF()
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try {
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      spark.table(name).collect().toSeq
+    } finally q.stop()
+  }
+
+  test("content dedupExact: stream == batch under cross-batch re-delivery") {
+    import spark.implicits._
+    val tA = vocabText(1, 80); val tB = vocabText(2, 80)
+    val tC = vocabText(3, 80)
+    val docs = Seq(
+      Doc(0, tmin(0), tA), Doc(1, tmin(1), tA),   // dup within batch 1
+      Doc(2, tmin(2), tB),
+      Doc(3, tmin(3), tB),                        // dup across batches
+      Doc(4, tmin(4), tC), Doc(5, tmin(5), tA))   // re-delivery of tA
+    val batches = Seq(docs.take(2), docs.slice(2, 4), docs.drop(4))
+    val got = runCorpusStream(batches, d => CorpusIngest.dedupExact(d))
+      .map(_.getAs[Long]("doc_id")).sorted
+    got shouldBe Seq(0L, 2L, 4L)
+    // the batch twin (same operator, static Dataset) keeps the same docs
+    CorpusIngest.dedupExact(docs.toDS()).collect()
+      .map(_.doc_id).sorted.toSeq shouldBe got
+  }
+
+  test("content dedupExact: digest state expires by TTL and re-admits") {
+    val tA = vocabText(11, 80); val tB = vocabText(12, 80)
+    val tC = vocabText(13, 80)
+    val batches = Seq(
+      Seq(Doc(0, tmin(0), tA)),
+      // pushes the watermark (delay 60 min) to 540 min after this batch,
+      // far past doc 0's timeout at 0 + 120 min TTL
+      Seq(Doc(1, tmin(600), tB)),
+      // timeouts fire for keys WITHOUT new data in a batch: this
+      // unrelated batch runs with watermark 540 -> digest-A state drops
+      Seq(Doc(3, tmin(602), tC)),
+      // same content as doc 0, after expiry: admitted AGAIN - dedup is a
+      // horizon contract, not stream-lifetime uniqueness
+      Seq(Doc(2, tmin(603), tA)))
+    val got = runCorpusStream(batches,
+      d => CorpusIngest.dedupExact(d, watermarkMinutes = 60,
+        ttlMinutes = 120))
+      .map(_.getAs[Long]("doc_id")).sorted
+    got shouldBe Seq(0L, 1L, 2L, 3L)
+  }
+
+  test("streaming MinHash near-dup: stream == batch, finds the near pair only") {
+    import spark.implicits._
+    val base = vocabText(7, 120).split(" ")
+    val near = (base.take(110) ++ base.take(10)).mkString(" ") // ~heavy overlap
+    val far = vocabText(99, 120)
+    val docs = Seq(
+      Doc(0, tmin(0), base.mkString(" ")),
+      Doc(1, tmin(1), near),
+      Doc(2, tmin(2), far))
+    val got = runCorpusStream(docs.map(Seq(_)),
+      d => CorpusIngest.nearDupPairs(d))
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Double]("sim"))).distinct.sorted
+    got.map(p => (p._1, p._2)) shouldBe Seq((0L, 1L))
+    got.head._3 should be >= 0.5
+    // batch twin: identical pair set
+    CorpusIngest.nearDupPairs(docs.toDS()).collect()
+      .map(p => (p.a_id, p.b_id, p.sim)).distinct.sorted.toSeq shouldBe got
+  }
 }
