@@ -58,6 +58,46 @@ object Rank {
   def withRowIndex(df: DataFrame, sortCols: String*): DataFrame =
     withRowIndexAndCount(df, sortCols: _*)._1
 
+  /** Distributed exclusive prefix sum (scan): append `off` = the sum of
+    * `valueCol` over all rows STRICTLY BEFORE this one in `sortCols`
+    * order — `SUM(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING AND 1
+    * PRECEDING)` without the empty-partitionBy window's single task.
+    * Same two-job shape as [[withRowIndexAndCount]]: one pass sums each
+    * partition of the range-partitioned sort (driver collects one long
+    * per partition), one narrow map emits running offsets; both jobs
+    * share the sort's shuffle files. `valueCol` must be a non-null LONG
+    * (exact integer arithmetic — the prefix is reproducible in any
+    * engine, which a floating scan would not be). */
+  def withRunningTotal(df: DataFrame, valueCol: String, sortCols: String*)
+      : DataFrame = {
+    val sorted = df.orderBy(sortCols.map(col): _*)
+    val ord = sorted.schema.fieldIndex(valueCol)
+    require(sorted.schema(ord).dataType == LongType,
+      s"withRunningTotal needs LONG $valueCol, found " +
+        sorted.schema(ord).dataType)
+    val rdd = sorted.queryExecution.toRdd
+    val sums = rdd
+      .mapPartitionsWithIndex((i, it) => {
+        var s = 0L
+        it.foreach(r => s += r.getLong(ord))
+        Iterator((i, s))
+      }, preservesPartitioning = true)
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = sums.scanLeft(0L)(_ + _)
+    val indexed = rdd.mapPartitionsWithIndex[InternalRow] { (i, it) =>
+      var acc = offsets(i)
+      it.map { r =>
+        val v = r.getLong(ord)
+        val out = new JoinedRow(r.copy(), InternalRow(acc))
+        acc += v
+        out
+      }
+    }
+    val schema = StructType(sorted.schema.fields :+
+      StructField("off", LongType, nullable = false))
+    GraftSqlBridge.internalRowsToDf(sorted.sparkSession, indexed, schema)
+  }
+
   /** SQL `ntile(k) OVER (ORDER BY sortCols)` without the single-task
     * window: rank via [[withRowIndexAndCount]], then the standard ntile
     * split in arithmetic — the first n % k buckets get ⌈n/k⌉ rows, the

@@ -191,6 +191,57 @@ class ScaleTechniquesSpec extends SparkSpec {
     plan should not include "LocalTableScan"
   }
 
+  test("withRunningTotal equals the SQL running-sum window, Window-free") {
+    import graft.operators.Rank
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // shuffled keys, varying values incl. zeros; repartition(7) forces
+    // the offsets to stitch across many sort partitions
+    val df = (0 until 311)
+      .map(i => ((i * 7919) % 311, ((i * 13) % 5).toLong))
+      .toDF("key", "v").repartition(7)
+    val got = Rank.withRunningTotal(df, "v", "key")
+    val want = df.withColumn("off",
+      coalesce(sum("v").over(Window.orderBy("key")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    got.except(want).count() shouldBe 0
+    want.except(got).count() shouldBe 0
+    got.queryExecution.executedPlan.toString should not include "Window"
+    // exclusive prefix: first row 0, and off + v of the last row = Σv
+    val total = df.agg(sum("v")).head().getLong(0)
+    got.orderBy(col("key").desc).select(col("off") + col("v"))
+      .head().getLong(0) shouldBe total
+  }
+
+  test("q_pack_chunks: every chunk except the last is exactly full") {
+    val byName = graft.operators.PipelineQueries.all
+      .map(q => q.name -> q).toMap
+    val got = byName("q_pack_chunks").fn(spark, sfDir).collect()
+    got.init.foreach(_.getLong(2) shouldBe 512L)
+    got.last.getLong(2) should be <= 512L
+    // chunk ids are dense from 0
+    got.map(_.getLong(0)).toSeq shouldBe got.indices.map(_.toLong)
+  }
+
+  test("q_mix_temperature flattens the source distribution toward uniform") {
+    import spark.implicits._
+    val byName = graft.operators.PipelineQueries.all
+      .map(q => q.name -> q).toMap
+    val sel = byName("q_mix_temperature").fn(spark, sfDir)
+    val docs = graft.Tables.documents(spark, sfDir)
+    // roughly half the corpus survives (rate ≈ 0.5 per source at α=0.5)
+    val frac = sel.count().toDouble / docs.count()
+    frac should (be > 0.3 and be < 0.7)
+    // token-light sources keep a HIGHER doc fraction than token-heavy
+    // ones: that is what temperature flattening means
+    val kept = docs.groupBy("source").count()
+      .join(sel.groupBy("source").count()
+        .withColumnRenamed("count", "k"), "source")
+      .select(col("source"), (col("k") / col("count")).as("frac"))
+      .as[(String, Double)].collect()
+    kept.map(_._2).max should be > kept.map(_._2).min
+  }
+
   test("q_ntile plan contains no single-partition Window") {
     val byName = graft.operators.Relational.all.map(q => q.name -> q).toMap
     val plan = byName("q_ntile").fn(spark, sfDir)
