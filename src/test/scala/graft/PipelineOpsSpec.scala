@@ -70,4 +70,25 @@ class PipelineOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("int8 quantization error respects the half-step bound per element") {
+    val rows = byName("q_embed_quantize").fn(spark, sfDir).collect()
+    rows.length should be > 0
+    rows.foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      val sse = r.getAs[Long]("sse12").toDouble / 1e12
+      val n = r.getAs[Long]("n_dims")
+      val sat = r.getAs[Long]("n_sat")
+      // each element's rounding error is ≤ scale/2, so SSE ≤ n·(scale/2)²
+      // (scale is rounded to 6 decimals in the output — give the bound
+      // that slack)
+      val bound = n * math.pow(scale / 2 + 1e-6, 2)
+      withClue(s"vec ${r.getLong(0)}: sse=$sse bound=$bound") {
+        sse should be <= bound
+      }
+      // the max element hits code ±127 by construction
+      sat should be >= 1L
+      sat should be <= n
+    }
+  }
 }
