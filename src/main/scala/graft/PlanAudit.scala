@@ -21,7 +21,8 @@ object PlanAudit {
       else Seq("q_scan", "q_filter", "q_join_broadcast", "q_join_hash",
         "q_groupby_agg", "q_matmul", "q_rekey_join", "q_tfidf",
         "q_dedup_exact", "q_cosine_topk", "q_pivot", "q_ntile",
-        "q_decontaminate", "q_gram_blocked", "q_dedup_pipeline")
+        "q_decontaminate", "q_gram_blocked", "q_dedup_pipeline",
+        "q_pack_chunks", "q_mix_temperature", "q_embed_quantize")
     for (n <- names) {
       println(s"==== $n ====")
       val df = SparkEntry.queries(n)(spark, d)
