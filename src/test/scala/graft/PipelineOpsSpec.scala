@@ -91,4 +91,36 @@ class PipelineOpsSpec extends SparkSpec {
       sat should be <= n
     }
   }
+
+  test("BPE merge semantics: greedy left-to-right, overlaps consumed") {
+    import graft.operators.Bpe
+    Bpe.mergeWord(Array("a", "a", "a"), "a", "a").toSeq shouldBe
+      Seq("aa", "a")
+    Bpe.mergeWord(Array("a", "b", "a", "b"), "a", "b").toSeq shouldBe
+      Seq("ab", "ab")
+    Bpe.mergeWord(Array("x"), "a", "b").toSeq shouldBe Seq("x")
+  }
+
+  test("distributed BPE training equals the sequential reference") {
+    import graft.operators.Bpe
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).limit(120)
+    val words = Bpe.wordCounts(docs)
+    val distributed = Bpe.train(words, 16)
+    val sequential = Bpe.trainSequential(words.collect().toSeq, 16)
+    distributed shouldBe sequential
+    // ranks dense, counts non-increasing is NOT guaranteed by BPE, but
+    // every merged pair must have appeared at least twice to be useful
+    distributed.map(_.rank) shouldBe (0 until distributed.length)
+    // segmenting with the learned table reaches the trainer's fixpoint:
+    // re-counting pairs after apply finds none of the merged pairs left
+    val seg = Bpe.segment(words, distributed).collect()
+    val mergedPairs = distributed.map(m => (m.left, m.right)).toSet
+    seg.foreach { w =>
+      w.syms.sliding(2).foreach { p =>
+        if (p.length == 2)
+          mergedPairs should not contain ((p(0), p(1)))
+      }
+    }
+  }
 }
