@@ -82,6 +82,28 @@ class ShuffleAuditSpec extends SparkSpec {
     }
   }
 
+  test("sequence packing shuffles (doc_id, ntok) pairs, never text") {
+    val docs = Tables.documents(spark, sf01)
+    val textBytes = docs.agg(sum(org.apache.spark.sql.functions.length(col("text")))).head().getLong(0)
+    val nDocs = docs.count()
+    val b = shuffleWriteBytes(pipeByName("q_pack_chunks").fn(spark, sf01))
+    // the prefix-sum sort + the chunk aggregate move ~3 narrow rows per
+    // doc (sort row, (doc,chunk) fan-out, chunk partials) of ~16-48
+    // bytes each — orders of magnitude under the text volume
+    withClue(s"shuffle $b vs text $textBytes (docs=$nDocs):") {
+      b should be < textBytes / 4
+      b should be < nDocs * 512
+    }
+  }
+
+  test("temperature mixing never shuffles the corpus") {
+    // per-source stats ride ONE aggregate exchange (|sources| x
+    // partitions partial rows); selection is a narrow broadcast-join
+    // filter — corpus rows stay where the scan put them
+    val b = shuffleWriteBytes(pipeByName("q_mix_temperature").fn(spark, sf01))
+    withClue(s"shuffle bytes = $b:") { b should be < 256L * 1024 }
+  }
+
   /** Count distinct scans of the `documents` parquet in `plan`, descending
     * through AQE wrappers, query stages, reused exchanges and — crucially —
     * into cached relations' build plans (each distinct cache counted once:
