@@ -9,6 +9,12 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // cached plans pin their partitioning unless AQE is allowed to
+      // re-coalesce them; without this the model-boundary persists
+      // (TWCNB ntc, tf) force 32-partition stages onto kilobyte tables —
+      // measured 3-6x wall and ~25x task count on the TWCNB trio
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
