@@ -135,4 +135,27 @@ class DifferentialSpec extends SparkSpec {
     info(f"IVF mean recall@5 = $mean%.3f over ${recalls.size} queries (nprobe=8/16 cells)")
     mean should be >= 0.8
   }
+
+  test("int8-code IVF matches the float IVF's recall vs brute-force top-5") {
+    val byName = graft.operators.PipelineQueries.all.map(q => q.name -> q).toMap
+    def topk(name: String): Map[Long, Set[Long]] =
+      byName(name).fn(spark, sfDir).collect()
+        .groupBy(_.getAs[Long]("q_id"))
+        .map { case (q, rows) => q -> rows.map(_.getAs[Long]("v_id")).toSet }
+    val exact = topk("q_cosine_topk")
+    val sq = topk("q_ann_ivf_sq")
+    val float = topk("q_ann_ivf")
+    exact should not be empty
+    def meanRecall(approx: Map[Long, Set[Long]]) = {
+      val rs = exact.map { case (q, truth) =>
+        approx.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+      }
+      rs.sum / rs.size
+    }
+    val mSq = meanRecall(sq); val mFloat = meanRecall(float)
+    info(f"SQ-IVF mean recall@5 = $mSq%.3f vs float IVF $mFloat%.3f")
+    mSq should be >= 0.8
+    // int8 cosine barely perturbs ranking: within 5pp of the float path
+    mSq should be >= mFloat - 0.05
+  }
 }
