@@ -47,18 +47,22 @@ object TWCNB {
     // ntc is the corpus boundary: everything upstream of `weighted` is
     // corpus-sized, everything from here on is model-sized (|V|·L). ntc
     // feeds 4 plan positions (both grid distincts, tot, the comp join)
-    // that Catalyst does not dedupe — so ntc is persisted HERE, at the
+    // that Catalyst does not dedupe — so ntc is materialized HERE, at the
     // model boundary: the corpus-sized tokenize/aggregate chain runs
-    // exactly once (into the |V|·L-row cache), and the 4 consumers read
-    // the cache. Persisting `weighted` instead would cache a corpus-sized
-    // table (measured 2-4× slower at bench scale from cache-build
-    // serialization); ntc is model-sized, so its cache cost is noise.
-    // Lifecycle: the cache lives until the caller/harness frees it (the
-    // Verify/Bench harness runs [[graft.Cleanup]] after each query's
-    // terminal action; library users unpersist via
-    // spark.sharedState.cacheManager or catalog.clearCache).
+    // exactly once (into |V|·L-row stored blocks), and the 4 consumers
+    // read the blocks. Materializing `weighted` instead would store a
+    // corpus-sized table (measured 2-4× slower at bench scale).
+    // An EAGER localCheckpoint (not .persist) does the materialization:
+    // the downstream plan sees a plain LogicalRDD, avoiding the
+    // InMemoryRelation path's columnar cache-build and per-consumer
+    // cached-plan re-optimization, which dominated the trio's wall time
+    // at sf0.1 (q_twcnb_model 1.0→4.5 s under .persist, round-4 verdict).
+    // Lifecycle: the checkpoint blocks live until the caller/harness
+    // frees them (the Verify/Bench harness runs [[graft.Cleanup]] —
+    // which unpersists all persistent RDDs — after each query's terminal
+    // action).
     val ntc = weighted.groupBy("label", "term").agg(sum("f").as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val grid = ntc.select("label").distinct()
       .crossJoin(ntc.select("term").distinct())
     val tot = ntc.groupBy("term").agg(sum("n").as("tot"))

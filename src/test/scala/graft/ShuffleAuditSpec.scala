@@ -137,14 +137,43 @@ class ShuffleAuditSpec extends SparkSpec {
 
   test("TWCNB declared queries run the corpus-side scan exactly once") {
     // r3 verdict #1: ntc feeds 4 plan positions Catalyst won't dedupe —
-    // with ntc persisted at the model boundary (TWCNB.trainWeighted) and
-    // the scoring tf derived from the same persisted tf matrix, each
-    // declared query's full plan tree must contain exactly ONE scan of
-    // the documents table; everything else rides the model-sized cache.
+    // with ntc materialized at the model boundary (eager localCheckpoint
+    // in TWCNB.trainWeighted), the corpus scan runs inside the
+    // checkpoint's OWN query execution and the declared query reads the
+    // stored blocks. So the invariant is counted across EVERY query
+    // execution the query triggers (construction + terminal action),
+    // observed via QueryExecutionListener: exactly ONE scan of the
+    // documents table in total.
     for (name <- Seq("q_twcnb_model", "q_twcnb_tfidf", "q_nb_score")) {
-      val df = textByName(name).fn(spark, sf01)
-      df.count() // materialize: proves the cached shape actually executes
-      val n = documentScans(df.queryExecution.executedPlan)
+      val plans = new java.util.concurrent.ConcurrentLinkedQueue[
+        org.apache.spark.sql.execution.SparkPlan]()
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = plans.add(qe.executedPlan)
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      }
+      spark.listenerManager.register(listener)
+      val n = try {
+        val df = textByName(name).fn(spark, sf01)
+        df.count() // materialize: proves the stored shape actually executes
+        // listener events are async — poll until the plan set is stable
+        var prev = -1
+        var stable = 0
+        var waited = 0
+        while (stable < 2 && waited < 5000) {
+          Thread.sleep(100); waited += 100
+          val cur = plans.size()
+          if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+        }
+        // one shared `seen` set: a cache built in one execution and read
+        // in another is still a single corpus scan
+        val seen = scala.collection.mutable.Set.empty[AnyRef]
+        import scala.jdk.CollectionConverters._
+        plans.asScala.map(documentScans(_, seen)).sum
+      } finally spark.listenerManager.unregister(listener)
       withClue(s"$name corpus scans = $n:") { n shouldBe 1 }
       Cleanup(spark)
     }
