@@ -11,6 +11,23 @@ class PipelineOpsSpec extends SparkSpec {
   private val byName =
     graft.operators.PipelineQueries.all.map(q => q.name -> q).toMap
 
+  test("LSH embedding near-dup equals the brute-force baseline, no quadratic join") {
+    // the declared scale path must return the IDENTICAL verdict set as
+    // the exact n² baseline at the gate scale (full recall by parameter
+    // choice — see qDedupEmbedLsh's scaladoc)...
+    val brute = byName("q_dedup_embed").fn(spark, sfDir).collect()
+    val lshDf = byName("q_dedup_embed_lsh").fn(spark, sfDir)
+    val lsh = lshDf.collect()
+    lsh.map(_.toSeq).toSeq shouldBe brute.map(_.toSeq).toSeq
+    lsh.length should be > 0
+    // ...and its physical plan must contain no all-pairs operator: every
+    // join is keyed (bucket keys or candidate ids), never cartesian
+    val planStr = lshDf.queryExecution.executedPlan.toString
+    planStr should not include "CartesianProduct"
+    planStr should not include "BroadcastNestedLoopJoin"
+    Cleanup(spark)
+  }
+
   test("repetition metrics are bounded and discriminative") {
     val rows = byName("q_repetition").fn(spark, sfDir).collect()
     rows.length should be > 0
