@@ -20,6 +20,13 @@ import org.apache.spark.sql.functions._
   */
 object AsOf {
 
+  /** Name → Column without path parsing: `col("a.b")` means field b of
+    * struct a, so every name-derived column here goes through backtick
+    * quoting — a payload column legitimately named "a.b" stays one
+    * column. */
+  private def qcol(name: String) =
+    col("`" + name.replace("`", "``") + "`")
+
   /** Inner as-of join. `right` columns (except `key`/`rightTs`) come back
     * `r_`-prefixed; `rightTs` returns as `r_ts`. Right side should be
     * unique per (key, ts) — pre-aggregate if not (result would otherwise
@@ -40,7 +47,7 @@ object AsOf {
         collisions.mkString(", ") + " — rename them on the left first")
 
     val lTagged = left
-      .withColumn("__ts", col(leftTs))
+      .withColumn("__ts", qcol(leftTs))
       .withColumn("__is_left", lit(1))
     val lAligned = rCols.foldLeft(lTagged)((df, c) =>
       df.withColumn(c, lit(null).cast(
@@ -48,18 +55,18 @@ object AsOf {
           .dataType)))
 
     val rTagged = right
-      .withColumn("__ts", col(rightTs))
+      .withColumn("__ts", qcol(rightTs))
       .withColumn("__is_left", lit(0))
-      .withColumn("r_ts", col(rightTs))
+      .withColumn("r_ts", qcol(rightTs))
     val rRenamed = rPayload.foldLeft(rTagged)((df, c) =>
       df.withColumnRenamed(c, "r_" + c))
     val rAligned = lCols.foldLeft(rRenamed)((df, c) =>
       df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
 
     val unioned = lAligned.select((key +: "__ts" +: "__is_left" +:
-      (lCols ++ rCols)).map(col): _*)
+      (lCols ++ rCols)).map(qcol): _*)
       .unionByName(rAligned.select((key +: "__ts" +: "__is_left" +:
-        (lCols ++ rCols)).map(col): _*))
+        (lCols ++ rCols)).map(qcol): _*))
 
     // right (0) sorts before left (1) at equal ts → r_ts <= leftTs matches.
     // The right payload is carried as ONE struct under a single
@@ -68,10 +75,11 @@ object AsOf {
     // legitimately null, breaking as-of row semantics. The struct is
     // null exactly on left rows (never on right rows), so ignoreNulls
     // skips left rows and nothing else.
-    val w = Window.partitionBy(key).orderBy(col("__ts"), col("__is_left"))
+    val w = Window.partitionBy(qcol(key))
+      .orderBy(col("__ts"), col("__is_left"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val rStruct = when(col("__is_left") === 0,
-      struct(rCols.map(col): _*))
+      struct(rCols.map(qcol): _*))
     val carried = unioned
       .withColumn("__r", last(rStruct, ignoreNulls = true).over(w))
 

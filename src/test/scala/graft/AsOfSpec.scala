@@ -49,6 +49,21 @@ class AsOfSpec extends SparkSpec {
     row.getAs[Timestamp]("r_ts") shouldBe t("2024-02-01 00:00:01")
   }
 
+  test("dotted column names stay single columns, not nested paths") {
+    import spark.implicits._
+    // "price.usd" is a legal DataFrame column name; every name-derived
+    // col(...) in asofJoin must backtick-quote or it parses as struct
+    // field access and the join fails to resolve (or silently mis-binds)
+    val left = Seq((1L, t("2024-03-01 10:00:00"), "l.note"))
+      .toDF("user_id", "ts", "tag.kind")
+    val right = Seq((1L, t("2024-03-01 09:00:00"), 9.99))
+      .toDF("user_id", "ts", "price.usd")
+    val row = AsOf.asofJoin(left, right, key = "user_id").head()
+    row.getAs[String]("tag.kind") shouldBe "l.note"
+    row.getAs[Double]("r_price.usd") shouldBe 9.99
+    row.getAs[Timestamp]("r_ts") shouldBe t("2024-03-01 09:00:00")
+  }
+
   test("null right payload values do not stitch columns from different right rows") {
     import spark.implicits._
     // Newest prior right row has amount = null: the joined row must carry

@@ -61,6 +61,31 @@ class StatSpec extends SparkSpec {
     }
   }
 
+  test("ridge sums survive magnitudes where a long accumulator wraps") {
+    import spark.implicits._
+    // per-row products of ~9.2e8-magnitude values are ~8.5e17 — a LONG
+    // sum wraps after ~11 rows; the decimal(38,0) accumulators must not.
+    // Exact linear target keeps the expected beta known despite the
+    // astronomic sums.
+    val big = 9.2e8
+    val data = (0 until 1000).map { i =>
+      val x = ((i % 97) - 48).toDouble * (big / 48.0)
+      (x, 2.0 * x)
+    }
+    val fit = Ridge.fit(data.toDF("x1", "y"), Seq(col("x1")), col("y"),
+      lambda = 0.0)
+    // a wrapped (silently negative / null) Gram destroys the solve by
+    // orders of magnitude; double conditioning on ~1e21 sums costs only
+    // ~1e-11 relative — so the bounds are scale-relative, wide enough for
+    // fp conditioning and astronomically tight against a wrap
+    fit.beta(1) shouldBe 2.0 +- 1e-6
+    fit.beta(0) shouldBe 0.0 +- big * 1e-6
+    fit.ssr should be >= 0.0
+    // yᵀy ~ 1e21: a relative bound distinguishes fp cancellation noise
+    // (~1e5 absolute) from a wrapped accumulator (~1e21 absolute)
+    fit.ssr should be < 1e12
+  }
+
   test("Ridge.pValues: seeded regression rejects true signal, keeps noise") {
     import spark.implicits._
     // The MyAppSuite.scala:78-111 scenario: strong linear signal on
