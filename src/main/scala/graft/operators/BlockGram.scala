@@ -35,9 +35,12 @@ object BlockGram {
     import spark.implicits._
     val t = tile
 
+    // integer DIV, not double `/`: block id and the pmod local offset
+    // must derive from the same exact arithmetic (a float quotient can
+    // round across an integer boundary for ids beyond ~2^53)
     val cells = x.select(
-        (col("i") / rowBlock).cast("long").as("bi"),
-        (col("j") / t).cast("long").as("bj"),
+        expr(s"CAST(i AS BIGINT) DIV $rowBlock").as("bi"),
+        expr(s"CAST(j AS BIGINT) DIV $t").as("bj"),
         pmod(col("i"), lit(rowBlock)).cast("int").as("li"),
         pmod(col("j"), lit(t)).cast("int").as("lj"),
         col("v").cast("double").as("v"))

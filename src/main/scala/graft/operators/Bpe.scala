@@ -85,18 +85,25 @@ object Bpe {
     import words.sparkSession.implicits._
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var cur = words.localCheckpoint(true)
+    // the checkpoint whose blocks the current lineage reads — superseded
+    // snapshots are unpersisted as soon as the next one materializes, so
+    // a long training run holds exactly ONE corpus snapshot, not
+    // numMerges/checkpointEvery of them (advisor finding, round 4)
+    var liveCkpt = cur
     var round = 0
     var done = false
     while (round < numMerges && !done) {
       // adjacent-pair counts, weighted by word multiplicity: narrow
-      // flatMap (pairs stay inside their row) + one aggregate
+      // flatMap (pairs stay inside their row) + ONE DataFrame aggregate —
+      // groupBy(l, r).sum stays in Tungsten with map-side partial
+      // aggregation (the typed groupByKey/reduceGroups form it replaces
+      // dragged every pair through the tuple codec)
       val top = cur.flatMap { w =>
         (0 until w.syms.length - 1).iterator
-          .map(i => ((w.syms(i), w.syms(i + 1)), w.n))
+          .map(i => (w.syms(i), w.syms(i + 1), w.n))
       }
-        .groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
-        .map { case ((l, r), n) => (l, r, n) }
         .toDF("l", "r", "n")
+        .groupBy("l", "r").agg(sum("n").as("n"))
         .orderBy(col("n").desc, col("l").asc, col("r").asc)
         .head(1)
       if (top.isEmpty) done = true
@@ -106,9 +113,12 @@ object Bpe {
         merges += Merge(round, l, r, n)
         val next = cur.map(w => Word(mergeWord(w.syms, l, r), w.n))
         // lineage cut: without it round k's plan nests k maps deep
-        cur = if ((round + 1) % checkpointEvery == 0)
-          next.localCheckpoint(true)
-        else next
+        cur = if ((round + 1) % checkpointEvery == 0) {
+          val ck = next.localCheckpoint(true) // eager: materializes BEFORE
+          liveCkpt.unpersist(blocking = false) // ...the old blocks drop
+          liveCkpt = ck
+          ck
+        } else next
         round += 1
       }
     }

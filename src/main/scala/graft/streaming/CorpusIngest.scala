@@ -93,8 +93,10 @@ object CorpusIngest {
   /** Exact streaming dedup on the content digest: the FIRST document
     * (by event time, doc_id tie-break) per digest passes; re-arrivals
     * inside the TTL horizon are suppressed; state for a digest expires
-    * `ttlMinutes` after its last sighting. Batch form: keep-min per
-    * digest — identical semantics to q_dedup_exact's keeper rule. */
+    * `ttlMinutes` after its last sighting. Batch form: keep-first by
+    * (ts, doc_id) per digest — event-time-first, unlike q_dedup_exact's
+    * min-doc_id keeper; the two agree exactly when arrival order matches
+    * id order. */
   def dedupExact(docs: Dataset[Doc], watermarkMinutes: Long = 60,
       ttlMinutes: Long = 120): Dataset[Doc] = {
     import docs.sparkSession.implicits._
@@ -150,7 +152,13 @@ object CorpusIngest {
 
     val banded = docs.flatMap { d =>
       val sig = signature(d.text, n)
-      (0 until bands).iterator.map { b =>
+      // all-MaxValue = the empty-shingle-set sentinel (doc under 3
+      // tokens): banding it would funnel EVERY short doc into the same
+      // `bands` buckets, each pair reporting spurious sim = 1.0 until
+      // bandCap saturates — emit no bands; near-dup over an empty
+      // shingle set is undefined, exact dedup still covers such docs
+      if (sig.forall(_ == Long.MaxValue)) Iterator.empty
+      else (0 until bands).iterator.map { b =>
         var bk = mix64(b.toLong)
         var r = b * rowsPerBand
         while (r < (b + 1) * rowsPerBand) { bk = mix64(bk ^ sig(r)); r += 1 }
