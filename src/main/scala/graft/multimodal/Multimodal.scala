@@ -17,9 +17,10 @@ import org.apache.spark.sql.functions._
   * from `documents` (payload = text bytes, not an encoded payload) keep
   * the deterministic [[FakeCodec]]/[[FakeAudioCodec]]. Video CONTAINER
   * metadata (MP4 boxes, AVI headers) parses for real through
-  * [[VideoContainer]]; only video PIXEL decode remains stubbed (no video
-  * codec in the JDK) — the frame-sampling kernel is real, the per-frame
-  * byte source is fake.
+  * [[VideoContainer]]; video PIXELS decode for real for MJPEG-in-AVI
+  * (each frame is a standalone JPEG → ImageIO); only non-MJPEG video
+  * codecs (H.264/VP9/... — nothing in the JDK decodes them) keep the
+  * deterministic per-frame stub.
   *
   * Scale notes: payload bytes never enter a shuffle — all kernels are
   * narrow (partition-local), so the only data movement is the initial scan.
@@ -333,14 +334,23 @@ object Multimodal {
 
   /** Frame sampling: every `stride`-th frame of a video asset, each frame
     * decoded independently (flatMap — one asset fans out to its sampled
-    * frames, still partition-local). */
+    * frames, still partition-local).
+    *
+    * Real pixel path: MJPEG-in-AVI payloads decode for real — each
+    * sampled frame is a standalone JPEG ([[VideoContainer.mjpegFrames]])
+    * through the JDK's ImageIO, the same zero-dependency move as
+    * [[ImageIoCodec]]. Undecodable frames are dropped, not thrown (the
+    * [[decodeAssetSafe]] quarantine discipline). Codecs the JDK cannot
+    * decode (H.264/VP9/...) and the synthetic "video/fake" corpus fall
+    * back to the deterministic stub — the declared boundary. */
   def sampleFrames(assets: Dataset[Asset], stride: Int): Dataset[VideoFrame] = {
     // fail on the driver: stride=0 would throw 'step cannot be 0' inside
     // every executor task (deterministic retry-until-abort), negative
     // strides would silently emit nothing
     require(stride > 0, s"sampleFrames: stride must be positive ($stride)")
     import assets.sparkSession.implicits._
-    assets.filter(_.modality == "video").mapPartitions(_.flatMap { a =>
+
+    def stubFrames(a: Asset): Iterator[VideoFrame] =
       (0 until a.meta.nFrames by stride).iterator.map { f =>
         // STUB: a real codec seeks to frame f; the fake derives frame
         // pixels from (payload, f) so frames differ deterministically.
@@ -349,6 +359,22 @@ object Multimodal {
           meta = a.meta.copy(nFrames = 1))
         VideoFrame(a.asset_id, f, FakeCodec.decode(frameAsset).pixels)
       }
+
+    assets.filter(_.modality == "video").mapPartitions(_.flatMap { a =>
+      val jpegs =
+        if (a.meta.mime.endsWith("/fake")) Vector.empty
+        else VideoContainer.mjpegFrames(a.content)
+      if (jpegs.nonEmpty)
+        (0 until jpegs.length by stride).iterator.flatMap { f =>
+          try {
+            val d = ImageIoCodec.decode(Asset(a.asset_id, "image",
+              jpegs(f), a.meta.copy(nFrames = 1, mime = "image/jpeg")))
+            Iterator.single(VideoFrame(a.asset_id, f, d.pixels))
+          } catch {
+            case scala.util.control.NonFatal(_) => Iterator.empty
+          }
+        }
+      else stubFrames(a)
     })
   }
 

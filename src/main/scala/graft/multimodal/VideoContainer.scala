@@ -112,6 +112,42 @@ object VideoContainer {
     else None
   }
 
+  /** MJPEG-in-AVI frame payloads: every `##dc`/`##db` stream chunk inside
+    * the `movi` LIST (including `rec ` groupings) whose payload starts
+    * with a JPEG SOI marker, in file order. Empty for non-MJPEG codecs
+    * or non-AVI containers — the caller picks its fallback. MJPEG is the
+    * one video coding the JDK can decode (each frame is a standalone
+    * JPEG for `javax.imageio`), which makes it the zero-dependency real
+    * pixel path; same bounds discipline as [[parse]]. */
+  def mjpegFrames(b: Array[Byte]): IndexedSeq[Array[Byte]] = {
+    if (!isAvi(b)) return Vector.empty
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def walk(lo: Int, hi: Int, depth: Int, inMovi: Boolean): Unit = {
+      if (depth > 8) return
+      var o = lo
+      while (o + 8 <= hi) {
+        val typ = fourcc(b, o)
+        val size = u32le(b, o + 4)
+        val pLo = o + 8
+        if (size < 0 || pLo + size > hi) return
+        val pHi = pLo + size.toInt
+        if (typ == "LIST" && pLo + 4 <= pHi) {
+          val lt = fourcc(b, pLo)
+          walk(pLo + 4, pHi, depth + 1,
+            inMovi || lt == "movi" || lt == "rec ")
+        } else if (inMovi && size >= 2 &&
+            typ(0).isDigit && typ(1).isDigit &&
+            (typ.endsWith("dc") || typ.endsWith("db")) &&
+            (b(pLo) & 0xff) == 0xff && (b(pLo + 1) & 0xff) == 0xd8) {
+          frames += java.util.Arrays.copyOfRange(b, pLo, pHi)
+        }
+        o = pHi + (size.toInt & 1) // RIFF chunks are word-aligned
+      }
+    }
+    walk(12, b.length, 0, inMovi = false)
+    frames.toIndexedSeq
+  }
+
   private def parseAvi(b: Array[Byte]): Option[ContainerMeta] = {
     // RIFF chunk walk: [fourcc][u32le size][payload]; LIST chunks nest
     // with a 4-byte list type prefix. The main header 'avih' carries

@@ -94,4 +94,55 @@ object OnlineClassifier {
         sink(score(batch, model), id)
       }
       .start()
+
+  /** HTTP serving endpoint — the literal V1 analog of the reference's
+    * embedded Tomcat + servlet (TomcatServer.scala:12-24,
+    * NaiveBayesServlet.scala:68-71), on the JDK-bundled
+    * `com.sun.net.httpserver` (zero new dependencies). POST /classify
+    * with a UTF-8 text body returns `{"label":…,"score":…}`; every
+    * request scores a 1-row frame through the SAME broadcast-join plan
+    * as batch and stream serving — one code path for all three shapes.
+    * `port = 0` binds a free port (read it back via
+    * `getAddress.getPort`); callers own the lifecycle (`stop(0)`).
+    * Latency note: this is the functional contract, not a low-latency
+    * server — per-request Spark job dispatch is ~10s of ms on an idle
+    * local session; a production deployment keeps this plan warm behind
+    * a request-batching front (exactly what [[serve]]'s micro-batching
+    * does). */
+  def httpServe(spark: org.apache.spark.sql.SparkSession, model: Model,
+      port: Int = 0): com.sun.net.httpserver.HttpServer = {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    def jsonEscape(s: String): String =
+      s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => "\\u%04x".format(c.toInt)
+        case c => c.toString
+      }
+    val server = HttpServer.create(new java.net.InetSocketAddress(port), 0)
+    server.createContext("/classify", (ex: HttpExchange) =>
+      try {
+        if (ex.getRequestMethod != "POST") ex.sendResponseHeaders(405, -1)
+        else {
+          val text =
+            new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+          import spark.implicits._
+          val row = score(Seq((0L, text)).toDF("doc_id", "text"), model)
+            .head()
+          val json =
+            s"""{"label":"${jsonEscape(row.getAs[String]("pred_label"))}","score":${row.getAs[Double]("best_score")}}"""
+          val bytes = json.getBytes("UTF-8")
+          ex.getResponseHeaders.add("Content-Type", "application/json")
+          ex.sendResponseHeaders(200, bytes.length.toLong)
+          ex.getResponseBody.write(bytes)
+        }
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          // a bad request must not kill the handler thread; 500 and move on
+          try ex.sendResponseHeaders(500, -1)
+          catch { case scala.util.control.NonFatal(_) => () }
+      } finally ex.close())
+    server.start()
+    server
+  }
 }

@@ -256,6 +256,68 @@ class MultimodalSpec extends SparkSpec {
     cc("RIFF") ++ le32(4L + hdrl.length) ++ cc("AVI ") ++ hdrl
   }
 
+  /** AVI with a movi LIST of `00dc` MJPEG frames, each a real ImageIO
+    * JPEG of a solid color. */
+  private def mjpegAviBytes(colors: Seq[java.awt.Color], w: Int,
+      h: Int): Array[Byte] = {
+    def jpeg(c: java.awt.Color): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(c); g.fillRect(0, 0, w, h); g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    def chunk(typ: String, payload: Array[Byte]): Array[Byte] =
+      cc(typ) ++ le32(payload.length.toLong) ++ payload ++
+        (if (payload.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    val avih = chunk("avih",
+      le32(40000) ++ le32(0) ++ le32(0) ++ le32(0) ++
+        le32(colors.length.toLong) ++ le32(0) ++ le32(1) ++ le32(0) ++
+        le32(w.toLong) ++ le32(h.toLong) ++ new Array[Byte](16))
+    val hdrl = cc("LIST") ++ le32(4L + avih.length) ++ cc("hdrl") ++ avih
+    val frames = colors.toArray.flatMap(c => chunk("00dc", jpeg(c)))
+    val movi = cc("LIST") ++ le32(4L + frames.length) ++ cc("movi") ++ frames
+    cc("RIFF") ++ le32(4L + hdrl.length + movi.length) ++ cc("AVI ") ++
+      hdrl ++ movi
+  }
+
+  test("MJPEG-in-AVI frames decode to real pixels; stride sampling holds") {
+    import spark.implicits._
+    import Multimodal._
+    val colors = Seq(new java.awt.Color(200, 40, 90),
+      new java.awt.Color(10, 180, 60), new java.awt.Color(60, 60, 220))
+    val avi = mjpegAviBytes(colors, w = 32, h = 16)
+    multimodal.VideoContainer.mjpegFrames(avi).length shouldBe 3
+    val assets = Seq(Asset(950L, "video", avi,
+      AssetMeta(0, 0, 0, 0, 0, "video/avi"))).toDS()
+    val frames = sampleFrames(assets, stride = 2).collect().sortBy(_.frame_idx)
+    frames.map(_.frame_idx).toSeq shouldBe Seq(0, 2)
+    frames.foreach(_.pixels.length shouldBe 32 * 16 * 3)
+    // JPEG is lossy: solid-color frames come back within a small delta
+    def meanRgb(px: Array[Byte]): (Double, Double, Double) = {
+      var r = 0.0; var g = 0.0; var b = 0.0
+      var i = 0
+      while (i < px.length) {
+        r += px(i) & 0xff; g += px(i + 1) & 0xff; b += px(i + 2) & 0xff
+        i += 3
+      }
+      val n = px.length / 3
+      (r / n, g / n, b / n)
+    }
+    for ((frame, want) <- frames.zip(Seq(colors(0), colors(2)))) {
+      val (r, g, b) = meanRgb(frame.pixels)
+      r shouldBe want.getRed.toDouble +- 8.0
+      g shouldBe want.getGreen.toDouble +- 8.0
+      b shouldBe want.getBlue.toDouble +- 8.0
+    }
+    // non-MJPEG video (no movi JPEGs) still routes to the declared stub
+    val stub = sampleFrames(Seq(Asset(951L, "video", "x".getBytes,
+      AssetMeta(4, 4, 3, 0, 2, "video/fake"))).toDS(), 1).collect()
+    stub.length shouldBe 2
+  }
+
   test("MP4 box walk extracts real duration, geometry, tracks, handler") {
     val m = multimodal.VideoContainer.parse(mp4Bytes).get
     m.format shouldBe "mp4"

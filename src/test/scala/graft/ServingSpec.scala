@@ -101,6 +101,50 @@ class ServingSpec extends SparkSpec {
     correct / n should be > 0.95
   }
 
+  test("HTTP endpoint: POST text -> label round trip matches direct scoring") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "text").limit(200)
+    val model = OnlineClassifier.train(docs)
+    val server = OnlineClassifier.httpServe(spark, model, port = 0)
+    try {
+      val port = server.getAddress.getPort
+      val sample = docs.select("text").head().getString(0)
+      val client = java.net.http.HttpClient.newHttpClient()
+      val resp = client.send(
+        java.net.http.HttpRequest.newBuilder()
+          .uri(java.net.URI.create(s"http://127.0.0.1:$port/classify"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(sample))
+          .build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      resp.statusCode() shouldBe 200
+      val body = resp.body()
+      val label = "\"label\":\"([^\"]*)\"".r
+        .findFirstMatchIn(body).get.group(1)
+      val direct = OnlineClassifier
+        .score(Seq((0L, sample)).toDF("doc_id", "text"), model)
+        .head().getAs[String]("pred_label")
+      label shouldBe direct
+      // wrong method: 405, handler stays alive for the next request
+      val bad = client.send(
+        java.net.http.HttpRequest.newBuilder()
+          .uri(java.net.URI.create(s"http://127.0.0.1:$port/classify"))
+          .GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      bad.statusCode() shouldBe 405
+      val again = client.send(
+        java.net.http.HttpRequest.newBuilder()
+          .uri(java.net.URI.create(s"http://127.0.0.1:$port/classify"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(sample))
+          .build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      again.statusCode() shouldBe 200
+    } finally {
+      server.stop(0)
+      model.unpersist()
+    }
+  }
+
   test("scoreFull ranks every trained label per document") {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "lang", "text")
       .limit(20)
