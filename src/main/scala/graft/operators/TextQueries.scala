@@ -3,7 +3,7 @@ package graft.operators
 import graft.{Q, Tables}
 import graft.functions.TextFns
 import graft.ml.TWCNB
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The reference's text/NLP classifier pipeline (SURVEY.md §2.6 N1–N7 +
@@ -217,6 +217,62 @@ object TextQueries {
       .orderBy("label", "term")
   }
 
+  /** N3 extension: BM25 retrieval scoring (Okapi k1 = 1.2, b = 0.75) of
+    * every document against a fixed query term set — the ranking-function
+    * counterpart of the TF-IDF weighting the reference builds for
+    * classification (NaiveBayesServlet.scala:90-101). Plan shape for
+    * 100 TB: ONE narrow corpus scan computes per-doc length and
+    * per-query-term tf straight off the token array (`size(filter(...))`
+    * — no explode, no token-level shuffle); corpus statistics (N, avgdl,
+    * per-term df) reduce to a single broadcast row; scoring is then a
+    * second narrow pass over the same scan. Zero wide exchanges — the
+    * only shuffle in the plan is the 1-row statistics aggregate. */
+  private val qBm25 = Q("q_bm25",
+    s"""WITH $tokSql,
+       |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tokf GROUP BY 1),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(dl) AS avgdl FROM dl),
+       |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tokf
+       |       WHERE term IN ('vector','hash','scan') GROUP BY 1, 2),
+       |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+       |SELECT tf.doc_id,
+       |  ROUND(SUM(LN(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
+       |    * tf.tf * (1.2 + 1.0)
+       |    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))), 6) AS bm25
+       |FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       |GROUP BY tf.doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val terms = Seq("vector", "hash", "scan")
+    val k1 = lit(1.2)
+    val b = lit(0.75)
+    val arr = filter(split(TextFns.normalize(col("text")), " "),
+      t => length(t) > 0)
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      size(filter(col("a"), x => x === lit(t))).cast("long").as(s"tf$i")
+    }
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), arr.as("a"))
+      .select(Seq(col("doc_id"), size(col("a")).cast("long").as("dl")) ++
+        tfCols: _*)
+      .filter(col("dl") > 0)
+    val statAggs = Seq(count(lit(1)).as("n"), avg("dl").as("avgdl")) ++
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = base.agg(statAggs.head, statAggs.tail: _*)
+    def contrib(i: Int): Column = {
+      val tf = col(s"tf$i").cast("double")
+      val idf = log(lit(1.0) +
+        (col("n") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)))
+      when(col(s"tf$i") > 0,
+        idf * tf * (k1 + lit(1.0)) /
+          (tf + k1 * (lit(1.0) - b + b * col("dl") / col("avgdl"))))
+        .otherwise(lit(0.0))
+    }
+    base.crossJoin(broadcast(stats))
+      .filter(terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
+      .select(col("doc_id"),
+        round(terms.indices.map(contrib).reduce(_ + _), 6).as("bm25"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(qTokenize, qTermFreq, qDictLoad, qDictVectorize,
-    qTfidf, qTwcnbModel, qNbScore, qTwcnbTfidf)
+    qTfidf, qTwcnbModel, qNbScore, qTwcnbTfidf, qBm25)
 }

@@ -140,4 +140,60 @@ class PipelineOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("substring-dup matches the window-shingle recomputation on raw strings") {
+    // independent formulation: WINDOW-based shingles (TextFns.shingles)
+    // grouped on the RAW shingle string — cross-checks both the narrow
+    // array shingle form and the 64-bit hash keying of the declared query
+    val toks = graft.functions.TextFns.tokens(Tables.documents(spark, sfDir))
+    val sh = graft.functions.TextFns.shingles(toks, 8)
+    val nd = sh.groupBy("sh")
+      .agg(countDistinct("doc_id").as("ndocs"))
+    val expected = sh.join(nd, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("windows"),
+        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("dup_windows"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("windows"), r.getAs[Long]("dup_windows")))).toMap
+
+    val got = byName("q_substring_dup").fn(spark, sfDir).collect()
+    got.length shouldBe expected.size
+    got.foreach { r =>
+      val k = r.getAs[Long]("doc_id")
+      (r.getAs[Long]("windows"), r.getAs[Long]("dup_windows")) shouldBe
+        expected(k)
+      r.getAs[Double]("dup_ratio") shouldBe
+        (math.rint(expected(k)._2.toDouble / expected(k)._1 * 1e6) / 1e6)
+    }
+    Cleanup(spark)
+  }
+
+  test("bm25 matches a driver-side recomputation") {
+    val terms = Seq("vector", "hash", "scan")
+    val toks = graft.functions.TextFns.tokens(Tables.documents(spark, sfDir))
+      .select("doc_id", "term").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("term"))
+    val dl = toks.groupBy(_._1).map { case (d, ts) => d -> ts.length.toLong }
+    val n = dl.size
+    val avgdl = dl.values.sum.toDouble / n
+    val tf = toks.filter(t => terms.contains(t._2))
+      .groupBy(identity).map { case ((d, t), xs) => (d, t) -> xs.length.toLong }
+    val df = tf.keys.groupBy(_._2).map { case (t, xs) => t -> xs.size.toLong }
+    val expected = tf.groupBy(_._1._1).map { case (d, m) =>
+      val s = m.map { case ((_, t), f) =>
+        val idf = math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5))
+        idf * f * 2.2 / (f + 1.2 * (1.0 - 0.75 + 0.75 * dl(d) / avgdl))
+      }.sum
+      d -> math.rint(s * 1e6) / 1e6
+    }
+    val got = graft.operators.TextQueries.all.find(_.name == "q_bm25").get
+      .fn(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bm25")).toMap
+    got.keySet shouldBe expected.keySet
+    got.foreach { case (d, v) =>
+      v shouldBe expected(d) +- 1e-6
+    }
+    expected.size should be > 0
+  }
 }
