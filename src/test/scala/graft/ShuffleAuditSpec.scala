@@ -96,6 +96,24 @@ class ShuffleAuditSpec extends SparkSpec {
     }
   }
 
+  test("bm25 shuffles only the one-row statistics aggregate") {
+    // the whole plan is two narrow passes over the scan plus a single
+    // scalar-statistics exchange (|partitions| partial rows)
+    val b = shuffleWriteBytes(textByName("q_bm25").fn(spark, sf01))
+    withClue(s"shuffle bytes = $b:") { b should be < 256L * 1024 }
+  }
+
+  test("substring-dup shuffles fixed-width window hashes, never text") {
+    val df = pipeByName("q_substring_dup").fn(spark, sf01)
+    val totalWindows = df.agg(sum(col("windows"))).head().getLong(0)
+    val b = shuffleWriteBytes(pipeByName("q_substring_dup").fn(spark, sf01))
+    // every wide exchange carries (hash, id, count) rows — bounded per
+    // WINDOW, independent of document/shingle byte length
+    withClue(s"shuffle $b vs windows $totalWindows:") {
+      b should be < totalWindows * 160
+    }
+  }
+
   test("temperature mixing never shuffles the corpus") {
     // per-source stats ride ONE aggregate exchange (|sources| x
     // partitions partial rows); selection is a narrow broadcast-join
