@@ -25,7 +25,9 @@ object PlanAudit {
         "q_groupby_agg", "q_matmul", "q_rekey_join", "q_tfidf",
         "q_dedup_exact", "q_cosine_topk", "q_pivot", "q_ntile",
         "q_decontaminate", "q_gram_blocked", "q_dedup_pipeline",
-        "q_pack_chunks", "q_mix_temperature", "q_embed_quantize")
+        "q_pack_chunks", "q_mix_temperature", "q_embed_quantize",
+        "q_cooccur_pmi", "q_chunk_overlap", "q_corpus_shuffle",
+        "q_inverted_index")
     for (n <- names) {
       println(s"==== $n ====")
       val df = SparkEntry.queries(n)(spark, d)

@@ -114,6 +114,38 @@ class ShuffleAuditSpec extends SparkSpec {
     }
   }
 
+  test("co-occurrence PMI shuffles vocab-bounded count partials, never text") {
+    // pairs are generated narrow per document; the exchanges carry
+    // (w1, w2, cnt) / (term, cnt) partials — bounded by vocab², not
+    // corpus size (word-soup vocab here is ~31 terms)
+    val b = shuffleWriteBytes(pipeByName("q_cooccur_pmi").fn(spark, sf01))
+    withClue(s"shuffle bytes = $b:") { b should be < 256L * 1024 }
+  }
+
+  test("overlapping chunker shuffles digests + metadata, never chunk text") {
+    val df = pipeByName("q_chunk_overlap").fn(spark, sf01)
+    val nChunks = df.count()
+    val b = shuffleWriteBytes(df)
+    // the only exchange is the presentation ORDER BY of the output rows
+    // (ids + md5 hex), each a fixed ~100 bytes — chunk token text (~32
+    // tokens each, overlapping) never leaves the scan stage
+    withClue(s"shuffle $b vs chunks $nChunks:") { b should be < nChunks * 256 }
+  }
+
+  test("corpus shuffle sorts (key, doc_id) pairs only") {
+    val nDocs = Tables.documents(spark, sf01).count()
+    val b = shuffleWriteBytes(pipeByName("q_corpus_shuffle").fn(spark, sf01))
+    // range-partitioned sort of two longs per document (+ sampling pass)
+    withClue(s"shuffle $b vs docs $nDocs:") { b should be < nDocs * 512 }
+  }
+
+  test("inverted index exchanges carry (term, doc_id) pairs, capped postings") {
+    val b = shuffleWriteBytes(pipeByName("q_inverted_index").fn(spark, sf01))
+    // three narrow exchanges (pair distinct, per-term rank, final sort);
+    // postings arrays are capped at 10 BEFORE aggregation
+    withClue(s"shuffle bytes = $b:") { b should be < 512L * 1024 }
+  }
+
   test("temperature mixing never shuffles the corpus") {
     // per-source stats ride ONE aggregate exchange (|sources| x
     // partitions partial rows); selection is a narrow broadcast-join
