@@ -4,6 +4,7 @@ import graft.{Q, Tables}
 import graft.functions.TextFns
 import graft.ml.TWCNB
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference's text/NLP classifier pipeline (SURVEY.md §2.6 N1–N7 +
@@ -273,6 +274,82 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Vocab induction support: top-20 trigram shingles per language by
+    * corpus frequency — the statistic a tokenizer-curation pass reads
+    * before choosing merge candidates per language. Plan shape for
+    * 100 TB: shingles come narrow off the token array (no token-level
+    * shuffle); ONE map-side-combined exchange on (lang, shingle); the
+    * per-language top-20 plans as WindowGroupLimit, so each partition
+    * forwards at most 20 rows per language to the final rank — no
+    * language-sized sort materializes. Ties broken by shingle text for
+    * cross-engine determinism. */
+  private val qTopNgrams = Q("q_top_ngrams",
+    s"""WITH $tokSql,
+       |sh0 AS (SELECT lang, term || ' ' || lead(term, 1) OVER w || ' ' ||
+       |    lead(term, 2) OVER w AS sh
+       |  FROM tokf WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |cnt AS (SELECT lang, sh, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM sh0 WHERE sh IS NOT NULL GROUP BY 1, 2),
+       |r AS (SELECT lang, sh, cnt,
+       |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, sh) AS rank
+       |  FROM cnt)
+       |SELECT lang, CAST(rank AS BIGINT) AS rank, sh, cnt
+       |FROM r WHERE rank <= 20 ORDER BY lang, rank""".stripMargin) { (s, d) =>
+    val k = 3
+    val arr = filter(split(TextFns.normalize(col("text")), " "),
+      t => length(t) > 0)
+    val n = size(col("a")) - (k - 1)
+    val grams = when(n >= 1, transform(sequence(lit(1), n),
+      i => concat_ws(" ", (0 until k).map(o => element_at(col("a"), i + o)): _*)))
+    val cnt = Tables.documents(s, d)
+      .select(col("lang"), arr.as("a"))
+      .select(col("lang"), explode(grams).as("sh"))
+      .groupBy("lang", "sh").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("sh"))
+    cnt.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 20)
+      .select(col("lang"), col("rank"), col("sh"), col("cnt"))
+      .orderBy("lang", "rank")
+  }
+
+  /** Corpus diagnostics: per-source size and lexical-diversity profile
+    * (docs, tokens, distinct terms, type-token ratio, mean doc length) —
+    * the summary table a mixing/curation decision reads per source.
+    * Plan shape for 100 TB: one narrow tokenize pass; the exact distinct
+    * counts are two-phase aggregates keyed on (source, term) /
+    * (source, doc) — both bounded by vocab × sources and docs, never
+    * token volume. */
+  private val qCorpusStats = Q("q_corpus_stats",
+    s"""WITH arr AS (SELECT doc_id, source, string_split(
+       |    regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ') AS a
+       |  FROM documents),
+       |tok AS (SELECT doc_id, source, term FROM (
+       |    SELECT doc_id, source, unnest(a) AS term FROM arr)
+       |  WHERE length(term) > 0)
+       |SELECT source,
+       |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(COUNT(DISTINCT term) AS BIGINT) AS n_types,
+       |  ROUND(CAST(COUNT(DISTINCT term) AS DOUBLE) / COUNT(*), 6) AS ttr,
+       |  ROUND(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT doc_id), 6)
+       |    AS mean_doc_tokens
+       |FROM tok GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val arr = filter(split(TextFns.normalize(col("text")), " "),
+      t => length(t) > 0)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), explode(arr).as("term"))
+      .groupBy("source")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("term")).as("n_types"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
+        round(col("n_tokens").cast("double") / col("n_docs"), 6)
+          .as("mean_doc_tokens"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(qTokenize, qTermFreq, qDictLoad, qDictVectorize,
-    qTfidf, qTwcnbModel, qNbScore, qTwcnbTfidf, qBm25)
+    qTfidf, qTwcnbModel, qNbScore, qTwcnbTfidf, qBm25, qTopNgrams,
+    qCorpusStats)
 }

@@ -146,6 +146,29 @@ class ShuffleAuditSpec extends SparkSpec {
     withClue(s"shuffle bytes = $b:") { b should be < 512L * 1024 }
   }
 
+  test("top-ngrams exchanges carry combined counts; rank is WindowGroupLimit") {
+    val docs = Tables.documents(spark, sf01)
+    val textBytes = docs.agg(sum(org.apache.spark.sql.functions.length(col("text")))).head().getLong(0)
+    val df = textByName("q_top_ngrams").fn(spark, sf01)
+    // per-language rank must prune partitions to 20 rows BEFORE the lang
+    // exchange — the plan property that keeps the sort language-bounded
+    assert(df.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      "q_top_ngrams rank must plan as WindowGroupLimit")
+    val b = shuffleWriteBytes(df)
+    // the (lang, shingle) exchange moves map-side-combined count rows —
+    // bounded by distinct shingles, ~3 tokens each
+    withClue(s"shuffle $b vs text $textBytes:") { b should be < textBytes * 3 }
+  }
+
+  test("corpus stats exchanges are bounded by distinct pairs, not tokens") {
+    val docs = Tables.documents(spark, sf01)
+    val textBytes = docs.agg(sum(org.apache.spark.sql.functions.length(col("text")))).head().getLong(0)
+    val b = shuffleWriteBytes(textByName("q_corpus_stats").fn(spark, sf01))
+    // two-phase exact distinct: the wide exchange carries map-side
+    // deduped (source, term) / (source, doc) pairs
+    withClue(s"shuffle $b vs text $textBytes:") { b should be < textBytes }
+  }
+
   test("temperature mixing never shuffles the corpus") {
     // per-source stats ride ONE aggregate exchange (|sources| x
     // partitions partial rows); selection is a narrow broadcast-join
