@@ -42,6 +42,14 @@ object Bench {
         org.apache.spark.sql.functions.col("t") ===
           org.apache.spark.sql.functions.col("r_name"), "left_anti")
       .count()
+    // higher-order-function expressions (transform/element_at lambdas in
+    // the shingle/chunk/pair generators) run INTERPRETED — no codegen —
+    // so their first execution also pays tiered-JIT warm-up of the
+    // interpreter paths; at sf1 that cost minutes on whichever
+    // HOF-heavy query ran first (q_substring_dup 433 s cold vs 11 s
+    // warm). Drive the lambda machinery hot here instead.
+    graft.functions.TextFns.shinglesOf(
+      Tables.documents(spark, sfDir).limit(500), k = 8).count()
     Cleanup(spark)
     // optional args = subset of query names (local iteration), run in ARG
     // order — the first query absorbs residual JIT warm-up, so subset
