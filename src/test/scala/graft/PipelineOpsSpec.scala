@@ -35,6 +35,69 @@ class PipelineOpsSpec extends SparkSpec {
     Cleanup(spark)
   }
 
+  test("embedding covariance matches a driver-side recomputation exactly") {
+    // brute-force the same quantized moments on the driver and compare
+    // BEFORE rounding — the aggregate must be exact, not approximately
+    // right (integer sums are order-free; any drift is a real bug)
+    val raw = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(_.getSeq[Float](1).toArray)
+    val q = raw.map(_.map(x =>
+      BigDecimal(x.toDouble * 10000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+    val n = q.length
+    val k = q.head.length
+    val got = byName("q_embed_cov").fn(spark, sfDir).collect()
+      .map(r => ((r.getLong(0).toInt, r.getLong(1).toInt), r.getDouble(2)))
+      .toMap
+    got.size shouldBe k * (k + 1) / 2
+    for (p <- 0 until k; qq <- p until k) {
+      val spq = q.map(v => v(p) * v(qq)).sum
+      val sp = q.map(_(p)).sum
+      val sq = q.map(_(qq)).sum
+      val want = BigDecimal(
+        (spq.toDouble / n - (sp.toDouble / n) * (sq.toDouble / n)) / 1e8)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      withClue(s"cov($p,$qq):") { got((p, qq)) shouldBe want +- 1e-9 }
+    }
+    Cleanup(spark)
+  }
+
+  test("PCA projection variance equals the covariance eigenvalues") {
+    val proj = byName("q_embed_pca").fn(spark, sfDir).collect()
+      .map(r => (r.getDouble(1), r.getDouble(2)))
+    val n = proj.length.toDouble
+    def popVar(xs: Array[Double]) = {
+      val m = xs.sum / xs.length
+      xs.map(x => (x - m) * (x - m)).sum / xs.length
+    }
+    def popCov(xs: Array[Double], ys: Array[Double]) = {
+      val mx = xs.sum / xs.length; val my = ys.sum / ys.length
+      xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum / xs.length
+    }
+    val pc1 = proj.map(_._1); val pc2 = proj.map(_._2)
+    // eigenvalues of the declared covariance, recomputed independently
+    val cov = byName("q_embed_cov").fn(spark, sfDir).collect()
+      .map(r => ((r.getLong(0).toInt, r.getLong(1).toInt), r.getDouble(2)))
+      .toMap
+    val k = 64
+    val m = Array.tabulate(k, k)((p, q) =>
+      cov(if (p <= q) (p, q) else (q, p)))
+    val (vals, comps) = graft.ml.Pca.topComponents(m, 2)
+    // population variance along each component = its eigenvalue
+    // (tolerance: 6-decimal rounding of both cov and projections)
+    popVar(pc1) shouldBe vals(0) +- 1e-3
+    popVar(pc2) shouldBe vals(1) +- 1e-3
+    vals(0) should be >= vals(1)
+    // distinct components are uncorrelated and unit-norm
+    math.abs(popCov(pc1, pc2)) should be < 1e-3
+    comps.foreach { c =>
+      math.sqrt(c.map(x => x * x).sum) shouldBe 1.0 +- 1e-9 }
+    math.abs(comps(0).zip(comps(1)).map { case (a, b) => a * b }.sum) should
+      be < 1e-9
+    Cleanup(spark)
+  }
+
   test("repetition metrics are bounded and discriminative") {
     val rows = byName("q_repetition").fn(spark, sfDir).collect()
     rows.length should be > 0

@@ -169,6 +169,13 @@ class ShuffleAuditSpec extends SparkSpec {
     withClue(s"shuffle $b vs text $textBytes:") { b should be < textBytes }
   }
 
+  test("embedding covariance shuffles only tree-merged moment buffers") {
+    // one CovAggregator pass: the exchange carries ~17 KB triangular
+    // long buffers per partial, independent of row count
+    val b = shuffleWriteBytes(pipeByName("q_embed_cov").fn(spark, sf01))
+    withClue(s"shuffle bytes = $b:") { b should be < 2L * 1024 * 1024 }
+  }
+
   test("temperature mixing never shuffles the corpus") {
     // per-source stats ride ONE aggregate exchange (|sources| x
     // partitions partial rows); selection is a narrow broadcast-join
