@@ -14,7 +14,7 @@ object SparkEntry {
   private def modules: Seq[Q] =
     operators.Relational.all ++ operators.CooQueries.all ++
       ml.MlQueries.all ++ operators.TextQueries.all ++
-      operators.PipelineQueries.all
+      operators.PipelineQueries.all ++ operators.Graph.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The §7.2 end-to-end slice: ridge regression over lineitem — scan →

@@ -176,6 +176,21 @@ class ShuffleAuditSpec extends SparkSpec {
     withClue(s"shuffle bytes = $b:") { b should be < 2L * 1024 * 1024 }
   }
 
+  test("pagerank exchanges carry (node, rank) state, bounded by edges x iters") {
+    val q = graft.operators.Graph.all.map(x => x.name -> x).toMap
+    val df = q("q_pagerank").fn(spark, sf01)
+    val edges = Tables.orders(spark, sf01).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, sf01).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select("o_custkey", "l_suppkey").distinct().count() * 2
+    val b = shuffleWriteBytes(df)
+    // per iteration: edge re-shuffle + rank join + one combined aggregate
+    // of (node, long) — all narrow fixed-width rows; 5 iterations
+    withClue(s"shuffle $b vs edges $edges:") {
+      b should be < edges * 5 * 400
+    }
+  }
+
   test("temperature mixing never shuffles the corpus") {
     // per-source stats ride ONE aggregate exchange (|sources| x
     // partitions partial rows); selection is a narrow broadcast-join
