@@ -301,6 +301,35 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** X8 completion: the navigation window family — lead/lag (frame-free)
+    * plus first_value/nth_value under an EXPLICIT ROWS frame (the default
+    * RANGE frame's peer semantics is engine-subtle; pinning ROWS makes
+    * both engines bit-identical). Values are copied, never computed, so
+    * no rounding is needed for the hash compare. One shuffle on the
+    * partition key; total order inside each partition via the key
+    * suffix (Rank discipline). */
+  private val qWindowNav = Q("q_window_nav",
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  lag(o_totalprice, 1) OVER w AS prev_price,
+      |  lead(o_totalprice, 1) OVER w AS next_price,
+      |  first_value(o_totalprice) OVER
+      |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price,
+      |  nth_value(o_totalprice, 3) OVER
+      |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_price
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        lag("o_totalprice", 1).over(w).as("prev_price"),
+        lead("o_totalprice", 1).over(w).as("next_price"),
+        first("o_totalprice").over(wf).as("first_price"),
+        nth_value(col("o_totalprice"), 3).over(wf).as("third_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** Global top-k: TakeOrderedAndProject, no full sort at scale. */
   private val qTopk = Q("q_topk",
     """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
@@ -780,7 +809,7 @@ object Relational {
 
   val all: Seq[Q] = Seq(qScan, qFilter, qJoinHash, qJoinBroadcast, qJoinOuter,
     qJoinSemi, qJoinAnti, qJoinRange, qGroupbyAgg, qAggRollup, qAggDistinct,
-    qWindowRank, qWindowRunsum, qTopk, qUnion, qIntersect, qExcept,
+    qWindowRank, qWindowRunsum, qWindowNav, qTopk, qUnion, qIntersect, qExcept,
     qStringDateFns, qJsonExtract, qEventTumble, qAggApprox, qAggCube, qJoinAsof,
     qPercentile, qEditDistance, qAggGroupingSets, qApproxPercentile,
     qJoinSalted, qSaltedAgg, qSessionize, qPivot, qNtile, qFillForward,
