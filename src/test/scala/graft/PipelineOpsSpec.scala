@@ -98,6 +98,79 @@ class PipelineOpsSpec extends SparkSpec {
     Cleanup(spark)
   }
 
+  test("overlapping chunks tile every document: coverage, stride, digests") {
+    val chunks = byName("q_chunk_overlap").fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    val nTok = graft.functions.TextFns.tokens(Tables.documents(spark, sfDir))
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    nTok.foreach { case (doc, n) =>
+      val cs = chunks(doc).sortBy(_._2)
+      // chunk ids dense from 0; starts at stride 24; sizes ≤ 32
+      cs.map(_._2) shouldBe (0L until cs.length.toLong).toArray
+      cs.foreach { case (_, c, start, len) =>
+        start shouldBe c * 24 + 1
+        len should be <= 32L
+      }
+      // full coverage: last chunk reaches the final token; consecutive
+      // chunks overlap by size − stride = 8 (when both are full)
+      val (_, _, lastStart, lastLen) = cs.last
+      lastStart + lastLen - 1 shouldBe n
+      cs.sliding(2).foreach {
+        case Array((_, _, s1, l1), (_, _, s2, _)) if l1 == 32 =>
+          (s1 + 32 - s2) shouldBe 8L
+        case _ => ()
+      }
+    }
+    chunks.keySet shouldBe nTok.keySet
+    Cleanup(spark)
+  }
+
+  test("co-occurrence PMI matches a driver-side recomputation") {
+    val got = byName("q_cooccur_pmi").fn(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    // recompute pairs over the tokenized corpus on the driver
+    val docs = Tables.documents(spark, sfDir)
+      .select("text").collect().map(_.getString(0))
+    val toks = docs.map(_.toLowerCase.replaceAll("[^a-z0-9]+", " ")
+      .split(" ").filter(_.nonEmpty))
+    val pairCnt = scala.collection.mutable.Map.empty[(String, String), Long]
+    val uni = scala.collection.mutable.Map.empty[String, Long]
+    var total = 0L
+    for (a <- toks) {
+      for (i <- a.indices) {
+        uni(a(i)) = uni.getOrElse(a(i), 0L) + 1; total += 1
+        for (o <- 1 to 3 if i + o < a.length) {
+          val k = if (a(i) <= a(i + o)) (a(i), a(i + o)) else (a(i + o), a(i))
+          pairCnt(k) = pairCnt.getOrElse(k, 0L) + 1
+        }
+      }
+    }
+    val want = pairCnt.filter(_._2 >= 5)
+    got.keySet shouldBe want.keySet
+    want.foreach { case (k, c) =>
+      got(k)._1 shouldBe c
+      val pmi = math.log(c.toDouble * total / (uni(k._1) * uni(k._2)))
+      got(k)._2 shouldBe pmi +- 1e-5
+    }
+    Cleanup(spark)
+  }
+
+  test("corpus shuffle is a permutation, reproducible across runs") {
+    val a = byName("q_corpus_shuffle").fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val b = byName("q_corpus_shuffle").fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    a shouldBe b // deterministic: same permutation every run
+    a.map(_._1).toSeq shouldBe (0L until a.length.toLong) // dense positions
+    a.map(_._2).distinct.length shouldBe a.length // every doc exactly once
+    // and it actually permutes (not identity) on this corpus
+    a.count { case (pos, doc) => pos == doc } should be < a.length / 2
+    Cleanup(spark)
+  }
+
   test("repetition metrics are bounded and discriminative") {
     val rows = byName("q_repetition").fn(spark, sfDir).collect()
     rows.length should be > 0
