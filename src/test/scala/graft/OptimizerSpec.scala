@@ -121,4 +121,55 @@ class OptimizerSpec extends SparkSpec {
     ourCost should be < (mlCost * 1.5)
     pts.unpersist()
   }
+
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // At 100 TB a fact-fact join whose build side carries a selective
+    // filter should not scan-and-shuffle the whole probe side: Spark's
+    // runtime bloom filter (InjectRuntimeFilter) plants
+    // bloom_filter_might_contain on the probe scan. Pin that our plans
+    // stay eligible — the declared queries rely on it once dimension
+    // tables outgrow the broadcast threshold.
+    val conf = spark.conf
+    val prevBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevCreation =
+      conf.get("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+    val prevApp = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val prevEnabled =
+      conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // production defaults target 10 GB probe scans — shrink both size
+      // gates so the sf0.01 fixture exercises the same injection rule
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "100MB")
+      conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0")
+      val sf01 = "/root/testdata/sf0.01"
+      val sel = Tables.orders(spark, sf01)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val joined = Tables.lineitem(spark, sf01)
+        .join(sel, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(sum(col("l_quantity").cast("long")).as("q"))
+      val opt = joined.queryExecution.optimizedPlan.toString
+      withClue(s"optimized plan:\n$opt") {
+        opt should include("might_contain")
+        opt should include("bloom_filter_agg")
+      }
+      joined.count() should be > 0L
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        prevCreation)
+      conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        prevApp)
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", prevEnabled)
+      Cleanup(spark)
+    }
+  }
 }
