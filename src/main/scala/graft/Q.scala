@@ -34,4 +34,18 @@ object Q {
     val scale = math.pow(10, decimals)
     round(sum(round(c * scale).cast("long")) / scale, decimals)
   }
+
+  /** Round a SIGNED double for the oracle hash compare, zero-sign
+    * normalized: IEEE `-0.0 + 0.0 = +0.0`. DuckDB's ROUND keeps the IEEE
+    * sign when a tiny negative rounds to zero; Spark's BigDecimal-based
+    * round emits unsigned zero — numerically equal, bitwise different, the
+    * driver's value hash flips (q_embed_cov, round 5: 2/2080 rows).
+    * Discipline: use this for EVERY rounded possibly-negative double and
+    * mirror the oracle SQL with `ROUND(x, d) + 0.0`; tools/signbit_sweep.py
+    * audits all oracles for surviving signed zeros. */
+  def roundz(c: Column, d: Int): Column = round(c, d) + lit(0.0)
+
+  /** Driver-side counterpart of [[roundz]] for values rounded in Scala
+    * before `createDataFrame` (the solver finale pattern). */
+  def normz(x: Double): Double = x + 0.0
 }

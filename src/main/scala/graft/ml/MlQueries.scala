@@ -41,9 +41,9 @@ object MlQueries {
     * (the §7.2 flagship; reference dridge, LinearRegression.scala:17-34). */
   private val qRidgeBeta = Q("q_ridge_beta",
     s"""WITH ${normalEqSql(10)}
-       |SELECT CAST(0 AS BIGINT) AS j, ROUND(beta0/100.0, 4) AS beta FROM beta
-       |UNION ALL SELECT 1, ROUND(beta1/100.0, 4) FROM beta
-       |UNION ALL SELECT 2, ROUND(beta2/100.0, 4) FROM beta
+       |SELECT CAST(0 AS BIGINT) AS j, ROUND(beta0/100.0, 4) + 0.0 AS beta FROM beta
+       |UNION ALL SELECT 1, ROUND(beta1/100.0, 4) + 0.0 FROM beta
+       |UNION ALL SELECT 2, ROUND(beta2/100.0, 4) + 0.0 FROM beta
        |ORDER BY j""".stripMargin) { (s, d) =>
     val li = Tables.lineitem(s, d)
     val fit = Ridge.fit(li,
@@ -83,13 +83,13 @@ object MlQueries {
        |st AS (SELECT *, rss/(n-3) AS sig2,
        |  (a22*a33-a23*a23)/dd AS inv00, (a11*a33-a13*a13)/dd AS inv11,
        |  (a11*a22-a12*a12)/dd AS inv22 FROM ssr)
-       |SELECT CAST(0 AS BIGINT) AS j, ROUND(beta0/100.0, 4) AS beta,
+       |SELECT CAST(0 AS BIGINT) AS j, ROUND(beta0/100.0, 4) + 0.0 AS beta,
        |  ROUND(SQRT(sig2*inv00)/100.0, 4) AS se,
-       |  ROUND(beta0/SQRT(sig2*inv00), 4) AS t FROM st
-       |UNION ALL SELECT 1, ROUND(beta1/100.0, 4), ROUND(SQRT(sig2*inv11)/100.0, 4),
-       |  ROUND(beta1/SQRT(sig2*inv11), 4) FROM st
-       |UNION ALL SELECT 2, ROUND(beta2/100.0, 4), ROUND(SQRT(sig2*inv22)/100.0, 4),
-       |  ROUND(beta2/SQRT(sig2*inv22), 4) FROM st
+       |  ROUND(beta0/SQRT(sig2*inv00), 4) + 0.0 AS t FROM st
+       |UNION ALL SELECT 1, ROUND(beta1/100.0, 4) + 0.0, ROUND(SQRT(sig2*inv11)/100.0, 4),
+       |  ROUND(beta1/SQRT(sig2*inv11), 4) + 0.0 FROM st
+       |UNION ALL SELECT 2, ROUND(beta2/100.0, 4) + 0.0, ROUND(SQRT(sig2*inv22)/100.0, 4),
+       |  ROUND(beta2/SQRT(sig2*inv22), 4) + 0.0 FROM st
        |ORDER BY j""".stripMargin) { (s, d) =>
     val li = Tables.lineitem(s, d)
     val fit = Ridge.fit(li,

@@ -308,13 +308,13 @@ object CooQueries {
   private val qEwiseSubRowsum = Q("q_ewise_sub_rowsum",
     s"""WITH $matASql,
        |r AS (SELECT i, SUM(v) AS tot FROM matA GROUP BY i)
-       |SELECT a.i AS i, a.j AS j, ROUND(a.v - r.tot / 8.0, 6) AS v
+       |SELECT a.i AS i, a.j AS j, ROUND(a.v - r.tot / 8.0, 6) + 0.0 AS v
        |FROM matA a JOIN r USING (i) ORDER BY i, j""".stripMargin) { (s, d) =>
     val a = matA(s, d)
     val r = Coo.rowSums(a).withColumnRenamed("v", "tot")
     a.join(r, "i")
       .select(col("i"), col("j"),
-        round(col("v") - col("tot") / 8.0, 6).as("v"))
+        Q.roundz(col("v") - col("tot") / 8.0, 6).as("v"))
       .orderBy("i", "j")
   }
 

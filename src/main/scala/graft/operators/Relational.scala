@@ -734,11 +734,11 @@ object Relational {
       |SELECT l_returnflag,
       |  ROUND(SQRT((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*sx/n)/(n-1)), 6)
       |    AS sd_qty,
-      |  ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*sy/n)/(n-1), 6)
+      |  ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*sy/n)/(n-1), 6) + 0.0
       |    AS cov_qd,
       |  ROUND((n*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*sy) /
       |    SQRT((n*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*sx)
-      |       * (n*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*sy)), 6) AS corr_qd
+      |       * (n*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*sy)), 6) + 0.0 AS corr_qd
       |FROM m ORDER BY l_returnflag""".stripMargin) { (s, d) =>
     val x = col("l_quantity").cast("long")
     val y = round(col("l_discount") * 100).cast("long")
@@ -750,10 +750,10 @@ object Relational {
         round(sqrt((col("sxx").cast("double") -
           col("sx").cast("double") * col("sx") / col("n")) / (col("n") - 1)),
           6).as("sd_qty"),
-        round((col("sxy").cast("double") -
+        Q.roundz((col("sxy").cast("double") -
           col("sx").cast("double") * col("sy") / col("n")) / (col("n") - 1),
           6).as("cov_qd"),
-        round((col("n") * col("sxy").cast("double") -
+        Q.roundz((col("n") * col("sxy").cast("double") -
           col("sx").cast("double") * col("sy")) /
           sqrt((col("n") * col("sxx").cast("double") -
             col("sx").cast("double") * col("sx")) *

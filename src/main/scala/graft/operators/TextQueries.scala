@@ -133,12 +133,12 @@ object TextQueries {
     * the ScalaTest differential suite). */
   private val qTwcnbModel = Q("q_twcnb_model",
     s"""WITH $twcnbSql
-       |SELECT label, term, ROUND(w, 6) AS w FROM model
+       |SELECT label, term, ROUND(w, 6) + 0.0 AS w FROM model
        |ORDER BY label, term""".stripMargin) { (s, d) =>
     val toks = TextFns.tokens(Tables.documents(s, d))
       .select(col("lang").as("label"), col("term"))
     TWCNB.train(toks)
-      .select(col("label"), col("term"), round(col("w"), 6).as("w"))
+      .select(col("label"), col("term"), Q.roundz(col("w"), 6).as("w"))
       .orderBy("label", "term")
   }
 
@@ -148,7 +148,7 @@ object TextQueries {
     s"""WITH $twcnbSql,
        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
        |       FROM tokf GROUP BY 1, 2)
-       |SELECT tf.doc_id, m.label, ROUND(SUM(tf.tf * m.w), 6) AS score
+       |SELECT tf.doc_id, m.label, ROUND(SUM(tf.tf * m.w), 6) + 0.0 AS score
        |FROM tf JOIN model m USING (term)
        |GROUP BY tf.doc_id, m.label ORDER BY doc_id, label""".stripMargin) {
     (s, d) =>
@@ -167,7 +167,8 @@ object TextQueries {
       // no broadcast hint: the model is |V|·L rows (vocabulary-sized at
       // corpus scale) — see [[graft.ml.TWCNB.score]]
       TWCNB.score(tf, model)
-        .select(col("doc_id"), col("label"), round(col("score"), 6).as("score"))
+        .select(col("doc_id"), col("label"),
+          Q.roundz(col("score"), 6).as("score"))
         .orderBy("doc_id", "label")
   }
 
@@ -199,7 +200,7 @@ object TextQueries {
        |  FROM comp),
        |model AS (SELECT label, term,
        |  theta / SUM(ABS(theta)) OVER (PARTITION BY label) AS w FROM theta)
-       |SELECT label, term, ROUND(w, 6) AS w FROM model
+       |SELECT label, term, ROUND(w, 6) + 0.0 AS w FROM model
        |ORDER BY label, term""".stripMargin) { (s, d) =>
     // tf feeds two plan positions (the df counts and the tfidf weights):
     // persist the doc×term matrix so the corpus is tokenized once
@@ -214,7 +215,7 @@ object TextQueries {
         round(col("tf") * log((col("n") + 1.0) / (col("df") + 1.0)) * 1e6)
           .cast("long").as("f"))
     TWCNB.trainWeighted(weighted, alpha = 1e6)
-      .select(col("label"), col("term"), round(col("w"), 6).as("w"))
+      .select(col("label"), col("term"), Q.roundz(col("w"), 6).as("w"))
       .orderBy("label", "term")
   }
 
