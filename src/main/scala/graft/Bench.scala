@@ -53,10 +53,12 @@ object Bench {
     Cleanup(spark)
     // optional args = subset of query names (local iteration), run in ARG
     // order — the first query absorbs residual JIT warm-up, so subset
-    // comparisons should lead with a sacrificial query; default all
+    // comparisons should lead with a sacrificial query; default all.
+    // Deduplicated: repeated names would share one runs buffer and get
+    // double-timed per pass.
     val selected: Seq[(String, (SparkSession, String) =>
         org.apache.spark.sql.DataFrame)] =
-      if (args.nonEmpty) args.toSeq.map(n => n -> SparkEntry.queries(n))
+      if (args.nonEmpty) args.toSeq.distinct.map(n => n -> SparkEntry.queries(n))
       else SparkEntry.queries.toSeq
     def timeOne(fn: (SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Double = {
@@ -67,8 +69,12 @@ object Bench {
         catch { case _: Throwable => false }
       val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       // cache/checkpoint hygiene happens OUTSIDE the timed region: each
-      // query is measured cold-cache but not charged for the previous
-      // query's cleanup
+      // rep starts with no SPARK state (caches/checkpoints cleared) but
+      // is not charged for the previous query's cleanup. The OS page
+      // cache is NOT cleared — reps after the first read warm parquet —
+      // so the reported min-of-reps is a warm-I/O best case (recorded in
+      // the JSON metadata; totals are not comparable with pre-round-5
+      // single-cold-run numbers).
       Cleanup(spark)
       dt
     }
@@ -110,7 +116,7 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => s"\"$k\"" }
       .mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","measure":"min-of-reps, warm page cache","queries":$qs,"runs":$runsJson,"failed":$failed,"sf":"$sfDir"}"""
     println(json)
     // the stdout line gets truncated by log-capture at ~85 queries — the
     // file copy is the lossless record
