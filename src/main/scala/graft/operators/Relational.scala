@@ -486,6 +486,35 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** X5+/X15: interval join, the batch twin of the stream-stream join
+    * ([[graft.streaming.EventStreams.intervalJoin]] — the declared query
+    * runs the SAME operator, so the oracle checks the streaming join's
+    * batch semantics; stream==batch equivalence is StreamingSpec's
+    * "stream-stream interval join == static range join"). Each purchase
+    * matches every error of the same user within ±30 minutes. Plan shape
+    * at 100 TB: an equi-join on user_id carries the range predicate as a
+    * post-join filter — one key-hash exchange per side, no range
+    * fan-out; on streams the watermark plus the interval bound the
+    * retained state on both sides. */
+  private val qJoinInterval = Q("q_join_interval",
+    """SELECT l.event_id AS event_id, r.event_id AS r_event_id,
+      |  CAST(date_diff('second', l.ts, r.ts) AS BIGINT) AS lag_s
+      |FROM events l JOIN events r
+      |  ON l.user_id = r.user_id
+      | AND l.event_type = 'purchase' AND r.event_type = 'error'
+      | AND r.ts >= l.ts - INTERVAL 30 MINUTE
+      | AND r.ts <= l.ts + INTERVAL 30 MINUTE
+      |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    graft.streaming.EventStreams.intervalJoin(
+      ev.filter(col("event_type") === "purchase"),
+      ev.filter(col("event_type") === "error"),
+      before = "30 minutes", after = "30 minutes")
+      .select(col("event_id"), col("r_event_id"),
+        (unix_timestamp(col("r_ts")) - unix_timestamp(col("ts"))).as("lag_s"))
+      .orderBy("event_id", "r_event_id")
+  }
+
   /** X6+: exact interpolated percentiles per group — Spark `percentile`
     * and DuckDB `quantile_cont` share the definition; quantized input
     * keeps the interpolation float-exact. At 100 TB the approximate
@@ -813,5 +842,5 @@ object Relational {
     qStringDateFns, qJsonExtract, qEventTumble, qAggApprox, qAggCube, qJoinAsof,
     qPercentile, qEditDistance, qAggGroupingSets, qApproxPercentile,
     qJoinSalted, qSaltedAgg, qSessionize, qPivot, qNtile, qFillForward,
-    qEventSlide, qMomentsStats)
+    qEventSlide, qMomentsStats, qJoinInterval)
 }
