@@ -40,6 +40,49 @@ object Graph {
        |  JOIN deg d ON d.src = e.src
        |  CROSS JOIN n nn GROUP BY e.dst, nn.n)""".stripMargin
 
+  /** The rank loop, shared by the declared query and the plan-growth
+    * test. Each iteration ends in an EAGER localCheckpoint (the CC-loop
+    * discipline, Dedup.scala) so iteration i's plan starts from a
+    * LogicalRDD leaf: lineage depth, plan size, and planner time stay
+    * O(1) in `nIters`, making the iteration count a safe knob instead
+    * of a plan-explosion fuse. Dangling mass: the undirected edge
+    * construction gives every node outdeg ≥ 1 by construction, so no
+    * sink-redistribution term exists to handle. */
+  private[graft] def pagerankRanks(s: org.apache.spark.sql.SparkSession,
+      d: String, nIters: Int): DataFrame = {
+    val edges0 = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct()
+    // undirected: each endpoint both emits and receives rank
+    val e = edges0.select(col("c").as("src"),
+        (col("s") + supplierOffset).as("dst"))
+      .union(edges0.select((col("s") + supplierOffset).as("src"),
+        col("c").as("dst")))
+      .localCheckpoint(true) // nIters reuses: materialize the distinct once
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
+    val n = deg.count()
+    var pr: DataFrame = deg.select(col("src").as("node"),
+      (lit(1.0) / n).as("pr"))
+    for (i <- 1 to nIters) {
+      pr = e.join(pr, col("src") === col("node"))
+        .join(deg, "src")
+        .select(col("dst"),
+          round(col("pr") / col("outdeg") * 1000000000000L).cast("long")
+            .as("contrib"))
+        .groupBy("dst").agg(sum("contrib").as("sc"))
+        .select(col("dst").as("node"),
+          (lit(0.15) / n + lit(0.85) * (col("sc") / 1000000000000.0))
+            .as("pr"))
+      // sever lineage every round; the terminal iteration flows into the
+      // caller's projection unmaterialized
+      if (i < nIters) pr = pr.localCheckpoint(true)
+    }
+    pr
+  }
+
   private val qPagerank = Q("q_pagerank",
     s"""WITH ed0 AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
@@ -53,34 +96,8 @@ object Graph {
        |${(1 to iters).map(iterSql).mkString(",\n")}
        |SELECT node, ROUND(pr, 6) AS pr FROM p$iters
        |ORDER BY node""".stripMargin) { (s, d) =>
-    val edges0 = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-      .distinct()
-    // undirected: each endpoint both emits and receives rank
-    val e = edges0.select(col("c").as("src"),
-        (col("s") + supplierOffset).as("dst"))
-      .union(edges0.select((col("s") + supplierOffset).as("src"),
-        col("c").as("dst")))
-      .localCheckpoint(true) // 5 reuses: materialize the distinct once
-    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint(true)
-    val n = deg.count()
-    var pr: DataFrame = deg.select(col("src").as("node"),
-      (lit(1.0) / n).as("pr"))
-    for (_ <- 1 to iters) {
-      pr = e.join(pr, col("src") === col("node"))
-        .join(deg, "src")
-        .select(col("dst"),
-          round(col("pr") / col("outdeg") * 1000000000000L).cast("long")
-            .as("contrib"))
-        .groupBy("dst").agg(sum("contrib").as("sc"))
-        .select(col("dst").as("node"),
-          (lit(0.15) / n + lit(0.85) * (col("sc") / 1000000000000.0))
-            .as("pr"))
-    }
-    pr.select(col("node"), round(col("pr"), 6).as("pr")).orderBy("node")
+    pagerankRanks(s, d, iters)
+      .select(col("node"), round(col("pr"), 6).as("pr")).orderBy("node")
   }
 
   val all: Seq[Q] = Seq(qPagerank)

@@ -122,6 +122,22 @@ class OptimizerSpec extends SparkSpec {
     pts.unpersist()
   }
 
+  test("PageRank loop keeps plan size O(1) in the iteration count") {
+    // Each iteration ends in an eager localCheckpoint, so iteration i's
+    // plan starts from a LogicalRDD leaf and never contains iteration
+    // i-1's operators — `iters` is a knob, not a plan-explosion fuse.
+    // Without the per-round checkpoint the optimized plan grows
+    // geometrically (joins against e and deg nest per round).
+    val p2 = graft.operators.Graph.pagerankRanks(spark, sfDir, 2)
+    val s2 = p2.queryExecution.optimizedPlan.toString.length
+    Cleanup(spark)
+    val p6 = graft.operators.Graph.pagerankRanks(spark, sfDir, 6)
+    val s6 = p6.queryExecution.optimizedPlan.toString.length
+    Cleanup(spark)
+    info(s"optimized plan chars: iters=2 -> $s2, iters=6 -> $s6")
+    s6 should be <= (s2 * 3 / 2)
+  }
+
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
     // At 100 TB a fact-fact join whose build side carries a selective
     // filter should not scan-and-shuffle the whole probe side: Spark's
