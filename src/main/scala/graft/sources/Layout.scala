@@ -49,7 +49,10 @@ object Layout {
     * version, adequate for roughly uniform keys. */
   private def quantize16(c: Column, lo: Long, hi: Long): Column =
     if (hi <= lo) lit(0L)
-    else ((c.cast("long") - lo) * 65535L / (hi - lo)).cast("long")
+    // decimal intermediate: (c − lo) * 65535 as a Long would silently
+    // overflow once the column domain spans more than ~2⁴⁷
+    else ((c.cast("long") - lo).cast("decimal(38,0)") * 65535L / (hi - lo))
+      .cast("long")
 
   /** Rewrite `df` into `nFiles` parquet files z-ordered on (a, b): one
     * tiny min-max aggregate, then ONE range-partitioned shuffle on the
@@ -60,6 +63,12 @@ object Layout {
       nFiles: Int): Unit = {
     val r = df.agg(min(col(a)).cast("long"), max(col(a)).cast("long"),
       min(col(b)).cast("long"), max(col(b)).cast("long")).head()
+    if (r.isNullAt(0) || r.isNullAt(2)) {
+      // empty input: min/max aggregate to NULL — write the (empty) frame
+      // directly rather than NPE on getLong
+      df.write.mode("overwrite").parquet(outDir)
+      return
+    }
     val z = zvalue(quantize16(col(a), r.getLong(0), r.getLong(1)),
       quantize16(col(b), r.getLong(2), r.getLong(3)))
     df.withColumn("__z", z)

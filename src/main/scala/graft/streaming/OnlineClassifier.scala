@@ -124,17 +124,28 @@ object OnlineClassifier {
       try {
         if (ex.getRequestMethod != "POST") ex.sendResponseHeaders(405, -1)
         else {
-          val text =
-            new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+          // bounded read: readNBytes caps the per-request allocation (an
+          // unbounded readAllBytes lets one request exhaust the heap);
+          // over-limit bodies get 413
+          val maxBody = 1 << 20
+          val body = ex.getRequestBody.readNBytes(maxBody + 1)
+          if (body.length > maxBody) ex.sendResponseHeaders(413, -1)
+          else {
+          val text = new String(body, "UTF-8")
           import spark.implicits._
           val row = score(Seq((0L, text)).toDF("doc_id", "text"), model)
             .head()
+          // NaN/Infinity are not valid JSON number literals — emit null
+          val score0 = row.getAs[Double]("best_score")
+          val scoreJson =
+            if (java.lang.Double.isFinite(score0)) score0.toString else "null"
           val json =
-            s"""{"label":"${jsonEscape(row.getAs[String]("pred_label"))}","score":${row.getAs[Double]("best_score")}}"""
+            s"""{"label":"${jsonEscape(row.getAs[String]("pred_label"))}","score":$scoreJson}"""
           val bytes = json.getBytes("UTF-8")
           ex.getResponseHeaders.add("Content-Type", "application/json")
           ex.sendResponseHeaders(200, bytes.length.toLong)
           ex.getResponseBody.write(bytes)
+          }
         }
       } catch {
         case scala.util.control.NonFatal(_) =>
