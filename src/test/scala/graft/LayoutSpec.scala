@@ -80,4 +80,81 @@ class LayoutSpec extends SparkSpec {
     }
     Cleanup(spark)
   }
+
+  test("composed scale path: z-ordered layout and runtime bloom filter prune the same fact scan") {
+    // The two scale features proven separately in round 5 (LayoutSpec
+    // file pruning; OptimizerSpec bloom injection), composed on ONE
+    // plan: a z-ordered fact table scanned under a second-dimension
+    // predicate (file-footprint pruning) and joined to a selective
+    // dimension past the broadcast threshold (runtime bloom filter on
+    // the probe rows). This is the 100 TB fact-fact shape: static
+    // pruning cuts the files read, the runtime filter cuts the rows
+    // shuffled — multiplicative, on different columns of the same scan.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec}
+    val sfd = sys.env.getOrElse("GRAFT_LAYOUT_SF", "/root/testdata/sf0.01")
+    val zDir = "/tmp/layout_zb"
+    val nFiles = 32
+    val li = Tables.lineitem(spark, sfd)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    Layout.zorderWrite(li, "l_partkey", "l_suppkey", zDir, nFiles)
+    val conf = spark.conf
+    val prev = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.adaptive.enabled").map(k => k -> conf.get(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "100MB")
+      conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0")
+      // concrete (non-adaptive) plan so per-node metrics are reachable
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val dim = Tables.part(spark, sfd)
+        .filter(col("p_brand") === "Brand#11").select("p_partkey")
+      val probe = spark.read.parquet(zDir).filter(col("l_suppkey") <= 10)
+      val joined = probe.join(dim, col("l_partkey") === col("p_partkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("q"))
+      val opt = joined.queryExecution.optimizedPlan.toString
+      withClue(s"optimized plan:\n$opt") { opt should include("might_contain") }
+      val result = joined.collect()
+
+      // (1) footprint pruning: files whose suppkey range meets [1, 10]
+      val fp = spark.read.parquet(zDir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("l_suppkey").as("lo"), max("l_suppkey").as("hi"))
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+      val filesTouched = fp.count { case (lo, hi) => hi >= 1L && lo <= 10L }
+
+      // (2) runtime-filter row pruning: output of the might_contain
+      // filter vs the suppkey-filtered probe rows entering it
+      val bloomFilters = joined.queryExecution.executedPlan.collect {
+        case f: FilterExec if f.condition.toString.contains("might_contain")
+          => f
+      }
+      bloomFilters should not be empty
+      val survived = bloomFilters.head.metrics("numOutputRows").value
+      val probeRows = probe.count()
+
+      // cross-check the composed plan returns the same answer without
+      // either feature
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val control = li.filter(col("l_suppkey") <= 10)
+        .join(dim, col("l_partkey") === col("p_partkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("q")).collect()
+      result shouldBe control
+
+      info(s"files touched $filesTouched/$nFiles; probe rows " +
+        s"$probeRows -> $survived after the runtime bloom filter")
+      filesTouched should be <= nFiles / 2
+      survived.toDouble should be < probeRows * 0.5
+    } finally {
+      prev.foreach { case (k, v) => conf.set(k, v) }
+      Cleanup(spark)
+    }
+  }
 }
