@@ -836,11 +836,94 @@ object Relational {
       .orderBy("decile")
   }
 
+  /** X8+: time-RANGE window frame — per-user trailing-1-hour rolling
+    * aggregate (`RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT
+    * ROW`), the frame family the ROWS-based windows (q_window_runsum/nav)
+    * cannot express: the frame is bounded by event-time DISTANCE, not row
+    * count, so peers at identical timestamps share one frame and sparse
+    * streams get short frames. Spark's `rangeBetween` needs a numeric
+    * order key — both sides order by epoch MICROseconds (the testdata's
+    * native resolution; `unix_micros` vs DuckDB `epoch_us` agree exactly,
+    * and a seconds-cast would disagree at sub-second boundaries). The
+    * frame sum is the quantized-BIGINT discipline, order-free within any
+    * frame. Plan at 100 TB: ONE exchange on user_id + in-partition sort;
+    * the running frame is a single pass with a sliding accumulator —
+    * no self-join, no per-row re-scan (the naive range self-join is
+    * O(rows × frame) and unbounded on hot users). */
+  private val qWindowRange = Q("q_window_range",
+    """SELECT user_id, event_id, COUNT(*) OVER w AS n_1h,
+      |  ROUND(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER w / 100.0, 2)
+      |    AS sum_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("us")
+      .rangeBetween(-3600000000L, 0)
+    Tables.events(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .select(col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("n_1h"),
+        round(sum(round(col("value") * 100).cast("long")).over(w) / 100.0, 2)
+          .as("sum_1h"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** CDC latest-wins snapshot merge (MERGE INTO / SCD upsert) — the
+    * incremental-refresh primitive a training-corpus pipeline needs when
+    * re-crawls arrive as deltas against a published snapshot: changed keys
+    * take the delta row, new keys append, unchanged base rows survive.
+    * The delta here is derived deterministically from the base so the
+    * oracle sees the identical changeset (updates: keys ≡3 mod 7 repriced
+    * ×1.1; inserts: keys ≡0 mod 13 re-keyed past the base domain).
+    *
+    * Plan shape: LEFT ANTI join of base against delta keys + UNION — no
+    * window, no sort until presentation. The row_number()-over-key
+    * alternative pays a per-key sort over the FULL merged table; the
+    * anti-join touches base rows once and shuffles only on the merge key
+    * (AQE broadcasts small deltas outright — the common nightly-delta
+    * case). Multi-version deltas reduce to latest-per-key first (max
+    * version, a delta-sized aggregate), preserving this shape. */
+  private val qMergeUpsert = Q("q_merge_upsert",
+    """WITH delta AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    ROUND(CAST(ROUND(o_totalprice*110) AS BIGINT)/100.0, 2)
+      |      AS o_totalprice,
+      |    'U' AS o_orderstatus
+      |  FROM orders WHERE o_orderkey % 7 = 3
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+      |    o_totalprice, 'N' AS o_orderstatus
+      |  FROM orders WHERE o_orderkey % 13 = 0)
+      |SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      |FROM delta
+      |UNION ALL
+      |SELECT b.o_orderkey, b.o_custkey, b.o_totalprice, b.o_orderstatus
+      |FROM orders b WHERE NOT EXISTS
+      |  (SELECT 1 FROM delta d WHERE d.o_orderkey = b.o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val base = Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    val updates = base.filter(col("o_orderkey") % 7 === 3)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(round(col("o_totalprice") * 110).cast("long") / 100.0, 2)
+          .as("o_totalprice"),
+        lit("U").as("o_orderstatus"))
+    val inserts = base.filter(col("o_orderkey") % 13 === 0)
+      .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"), lit("N").as("o_orderstatus"))
+    val delta = updates.union(inserts)
+    delta
+      .union(base.join(delta.select("o_orderkey"), Seq("o_orderkey"),
+        "left_anti"))
+      .orderBy("o_orderkey")
+  }
+
   val all: Seq[Q] = Seq(qScan, qFilter, qJoinHash, qJoinBroadcast, qJoinOuter,
     qJoinSemi, qJoinAnti, qJoinRange, qGroupbyAgg, qAggRollup, qAggDistinct,
     qWindowRank, qWindowRunsum, qWindowNav, qTopk, qUnion, qIntersect, qExcept,
     qStringDateFns, qJsonExtract, qEventTumble, qAggApprox, qAggCube, qJoinAsof,
     qPercentile, qEditDistance, qAggGroupingSets, qApproxPercentile,
     qJoinSalted, qSaltedAgg, qSessionize, qPivot, qNtile, qFillForward,
-    qEventSlide, qMomentsStats, qJoinInterval)
+    qEventSlide, qMomentsStats, qJoinInterval, qWindowRange, qMergeUpsert)
 }

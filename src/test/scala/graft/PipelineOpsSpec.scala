@@ -35,6 +35,82 @@ class PipelineOpsSpec extends SparkSpec {
     Cleanup(spark)
   }
 
+  test("HLL registers match a driver-side sketch; merge = elementwise max") {
+    // recompute the whole chain (md5 → 60-bit hash → bucket/rho → max)
+    // on the driver from the raw shingle strings — independent of every
+    // Spark SQL expression the query uses
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(8).map("%02x".format(_)).mkString
+        .take(15), 16)
+    }
+    def sketch(hs: Seq[Long]): Array[Long] = {
+      val regs = Array.fill(64)(0L)
+      hs.foreach { h =>
+        val b = (h >>> 54).toInt
+        val rem = h & ((1L << 54) - 1)
+        val rho = if (rem == 0) 55 else 54 - (63 - java.lang.Long.numberOfLeadingZeros(rem))
+        regs(b) = regs(b).max(rho)
+      }
+      regs
+    }
+    val shingles = graft.functions.TextFns
+      .shinglesOf(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), col("sh")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = sketch(shingles.map(s => h60(s._2)).toSeq)
+    val got = byName("q_hll_registers").fn(spark, sfDir).collect()
+    got.map(r => r.getLong(1)) shouldBe want
+    // mergeability: sketches of disjoint halves max-merge into the full
+    // sketch — the property that lets per-source sketches roll up at
+    // 100 TB without re-reading data
+    val (a, b) = shingles.partition(_._1 % 2 == 0)
+    val merged = sketch(a.map(s => h60(s._2)).toSeq)
+      .zip(sketch(b.map(s => h60(s._2)).toSeq)).map { case (x, y) => x max y }
+    merged shouldBe want
+    // estimator quality: well inside 3σ = 3·1.04/√64 ≈ 39 % of truth
+    val est = got.head.getDouble(2)
+    val truth = shingles.map(_._2).distinct.length.toDouble
+    math.abs(est - truth) / truth should be < 0.39
+    Cleanup(spark)
+  }
+
+  test("PII redaction is complete and typed: no pattern survives, counts audit") {
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val phone = "\\b555-\\d{4}\\b"
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val got = byName("q_pii_redact").fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    got.size shouldBe docs.size
+    docs.foreach { case (id, text, source) =>
+      // the declared query's deterministic PII-bearing suffix
+      val msg = s"$text contact user${id % 97}@mail-$source.com or " +
+        s"10.${id % 200}.${id % 250}.${id % 254} phone 555-" +
+        "%04d".format(id % 10000)
+      val s1 = msg.replaceAll(email, "<EMAIL>")
+      val s2 = s1.replaceAll(ip, "<IP>")
+      val s3 = s2.replaceAll(phone, "<PHONE>")
+      val r = got(id)
+      r.getLong(1) shouldBe email.r.findAllIn(msg).size.toLong
+      r.getLong(2) shouldBe ip.r.findAllIn(s1).size.toLong
+      r.getLong(3) shouldBe phone.r.findAllIn(s2).size.toLong
+      // completeness: nothing PII-shaped survives the staged scrub
+      email.r.findFirstIn(s3) shouldBe None
+      ip.r.findFirstIn(s3) shouldBe None
+      phone.r.findFirstIn(s3) shouldBe None
+      // byte-identity with the engine's redaction via the declared md5
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s3.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      r.getString(4) shouldBe md
+      r.getLong(5) shouldBe s3.length.toLong
+    }
+    Cleanup(spark)
+  }
+
   test("embedding covariance matches a driver-side recomputation exactly") {
     // brute-force the same quantized moments on the driver and compare
     // BEFORE rounding — the aggregate must be exact, not approximately

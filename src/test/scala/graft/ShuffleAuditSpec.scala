@@ -96,6 +96,63 @@ class ShuffleAuditSpec extends SparkSpec {
     }
   }
 
+  test("HLL sketch build shuffles bounded register cells, never hashes") {
+    // the sketch aggregate's exchange is ≤ 64 partial cells per task; the
+    // declared query also carries the COUNT(DISTINCT sh) verification
+    // baseline (one row per distinct shingle hash — the exact cost the
+    // sketch exists to avoid), so bound the TOTAL by the baseline's
+    // volume: ~16k distinct 8-byte hashes + agg overhead. The production
+    // path (registers only) is the few-KB fraction of this.
+    val b = shuffleWriteBytes(pipeByName("q_hll_registers").fn(spark, sf01))
+    withClue(s"shuffle bytes = $b:") { b should be < 1024L * 1024 }
+  }
+
+  test("PII redaction is a pure map until the presentation sort") {
+    // regex scrub fuses into the scan; the only exchange is the final
+    // ORDER BY doc_id range exchange carrying the narrow audit rows
+    // (id, 3 counts, md5, len) — never the document text
+    val df = pipeByName("q_pii_redact").fn(spark, sf01)
+    val planStr = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    "Exchange".r.findAllIn(planStr).size should be <= 1
+    val b = shuffleWriteBytes(df)
+    val textBytes = Tables.documents(spark, sf01)
+      .agg(sum(org.apache.spark.sql.functions.length(col("text"))))
+      .head().getLong(0)
+    withClue(s"shuffle $b vs text $textBytes:") { b should be < textBytes / 4 }
+  }
+
+  test("time-RANGE window: one running-frame pass, no self-join") {
+    val df = relByName("q_window_range").fn(spark, sf01)
+    val planStr = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the frame must be a Window RangeFrame (single sorted pass with a
+    // sliding accumulator), NOT a range self-join — the naive rewrite is
+    // O(rows × frame width) and unbounded on hot users
+    planStr should include ("RangeFrame")
+    planStr should not include "Join"
+    // exchanges: hash by user_id + the presentation range sort
+    "Exchange".r.findAllIn(planStr).size should be <= 2
+    val b = shuffleWriteBytes(df)
+    // 10k events × ~40 B narrow rows × 2 exchanges, with headroom; a
+    // self-join plan would shuffle the frame fan-out (~100× this)
+    withClue(s"shuffle bytes = $b:") { b should be < 2L * 1024 * 1024 }
+  }
+
+  test("CDC merge is an anti-join + union: no window, no pre-sort") {
+    val df = relByName("q_merge_upsert").fn(spark, sf01)
+    val planStr = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // latest-wins via LEFT ANTI, not row_number-over-key: a Window here
+    // would sort the FULL merged table per key at 100 TB
+    planStr should not include "Window"
+    planStr should include ("LeftAnti")
+    val b = shuffleWriteBytes(df)
+    // base 15k + delta ~3.3k narrow rows through the anti join (AQE may
+    // broadcast the delta outright) + presentation sort
+    withClue(s"shuffle bytes = $b:") { b should be < 4L * 1024 * 1024 }
+  }
+
   test("bm25 shuffles only the one-row statistics aggregate") {
     // the whole plan is two narrow passes over the scan plus a single
     // scalar-statistics exchange (|partitions| partial rows)
