@@ -76,6 +76,78 @@ class ScaleTechniquesSpec extends SparkSpec {
     }
   }
 
+  test("declared scans push predicates and prune columns at the parquet scan") {
+    // the two halves of "don't read what you don't need" at 100 TB:
+    // predicates must reach the parquet reader (row-group/page skipping)
+    // and the ReadSchema must carry only touched columns. Assert both on
+    // the plan text of declared queries, not on trust.
+    val sf01 = "/root/testdata/sf0.01"
+    val rel = graft.operators.Relational.all.map(q => q.name -> q).toMap
+    val pipe = graft.operators.PipelineQueries.all.map(q => q.name -> q).toMap
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val fscan = scans(
+      rel("q_filter").fn(spark, sf01).queryExecution.executedPlan)
+    fscan should have size 1
+    val pushed = fscan.head.metadata("PushedFilters")
+    pushed should include ("GreaterThanOrEqual(l_shipdate")
+    pushed should include ("LessThan(l_quantity,25")
+    pushed should include ("GreaterThanOrEqual(l_discount,0.03")
+    // projection pruning: untouched lineitem columns stay out of the scan
+    fscan.head.requiredSchema.fieldNames.toSet shouldBe Set("l_orderkey",
+      "l_linenumber", "l_quantity", "l_discount", "l_shipdate")
+    // the PII scrub touches doc_id/text/source only — lang and n_chars
+    // must not be decoded from a 100 TB corpus for it
+    val pscan = scans(
+      pipe("q_pii_redact").fn(spark, sf01).queryExecution.executedPlan)
+    pscan should have size 1
+    pscan.head.requiredSchema.fieldNames.toSet shouldBe
+      Set("doc_id", "text", "source")
+  }
+
+  test("AQE splits a skewed sort-merge join partition without manual salting") {
+    // the first-line 100 TB skew answer is AQE's runtime split (salting
+    // below is the fallback for aggregates / pre-AQE engines): lower the
+    // skew thresholds to fixture scale, force a shuffle join, and assert
+    // the final adaptive plan actually marked and split the hot
+    // partition — with results identical to the unskewed expectation.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // 60% of 40k padded rows share one key; the rest spread over 1k keys
+      val left = spark.range(40000).select(
+        when(col("id") % 10 < 6, 1L).otherwise(col("id") % 1000).as("k"),
+        col("id").as("v"), lit("x" * 64).as("pad"))
+      val right = spark.range(1000).select(col("id").as("k"), col("id").as("w"))
+      val j = left.join(right, "k")
+      // execute THIS frame (not a derived count plan) so AQE finalizes it
+      j.collect().length shouldBe 40000 // every left row matches one dim row
+      val plan = j.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      withClue(s"plan:\n$plan") { plan should include ("skew=true") }
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("salted join equals the plain join on a skewed key distribution") {
     import spark.implicits._
     // Hot-key distribution: 80% of rows share key 1.
