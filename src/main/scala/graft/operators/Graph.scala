@@ -76,9 +76,12 @@ object Graph {
         .select(col("dst").as("node"),
           (lit(0.15) / n + lit(0.85) * (col("sc") / 1000000000000.0))
             .as("pr"))
-      // sever lineage every round; the terminal iteration flows into the
-      // caller's projection unmaterialized
-      if (i < nIters) pr = pr.localCheckpoint(true)
+      // sever lineage every SECOND round: plan depth stays bounded by 2
+      // iterations (still O(1) in nIters — the knob-safety property the
+      // plan-growth test pins) at half the eager materializations; the
+      // terminal iteration flows into the caller's projection
+      // unmaterialized
+      if (i < nIters && i % 2 == 0) pr = pr.localCheckpoint(true)
     }
     pr
   }
