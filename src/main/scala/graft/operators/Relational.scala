@@ -836,6 +836,31 @@ object Relational {
       .orderBy("decile")
   }
 
+  /** X15+: windowed distinct-cardinality sketch — the batch twin of
+    * [[graft.streaming.EventStreams.windowedDistinctSketch]] (the SAME
+    * transform run on the static table; stream==batch pinned in
+    * StreamingSpec). Per day-window, the 64 HLL registers over hashed
+    * user_id — checked at full register granularity against DuckDB via
+    * the shared integer ρ ladder ([[graft.functions.Sketches]]). The
+    * streaming value: state bounded at |open windows| × 64 cells where
+    * exact distinct-per-window holds every key; the batch value: the
+    * same sketch rolls up across days/sources by elementwise MAX. */
+  private val qEventHll = Q("q_event_hll", {
+    import graft.functions.Sketches
+    s"""WITH ph AS (SELECT date_trunc('day', ts) AS ws,
+       |    ${Sketches.hash60Sql.format("CAST(user_id AS VARCHAR)")} AS h
+       |  FROM events),
+       |rho AS (SELECT ws, ${Sketches.bucketSql("h")} AS bucket,
+       |    ${Sketches.rhoSql("rem")} AS rho
+       |  FROM (SELECT ws, h, h & ${Sketches.RemMask} AS rem FROM ph))
+       |SELECT ws, bucket, CAST(MAX(rho) AS BIGINT) AS register
+       |FROM rho GROUP BY ws, bucket ORDER BY ws, bucket""".stripMargin
+  }) { (s, d) =>
+    graft.streaming.EventStreams
+      .windowedDistinctSketch(Tables.events(s, d), "1 day")
+      .orderBy("ws", "bucket")
+  }
+
   /** X8+: time-RANGE window frame — per-user trailing-1-hour rolling
     * aggregate (`RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT
     * ROW`), the frame family the ROWS-based windows (q_window_runsum/nav)
@@ -925,5 +950,6 @@ object Relational {
     qStringDateFns, qJsonExtract, qEventTumble, qAggApprox, qAggCube, qJoinAsof,
     qPercentile, qEditDistance, qAggGroupingSets, qApproxPercentile,
     qJoinSalted, qSaltedAgg, qSessionize, qPivot, qNtile, qFillForward,
-    qEventSlide, qMomentsStats, qJoinInterval, qWindowRange, qMergeUpsert)
+    qEventSlide, qMomentsStats, qJoinInterval, qWindowRange, qMergeUpsert,
+    qEventHll)
 }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -68,6 +68,30 @@ object EventStreams {
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("sum_value"))
+
+  /** Windowed distinct-cardinality sketch: per tumbling `width` window,
+    * the m = 64 HyperLogLog registers over the hashed key — streaming
+    * cardinality monitoring (distinct users/documents per window on a
+    * 100 TB-scale ingest) with state bounded at |open windows| × m
+    * cells, independent of key cardinality. An exact streaming
+    * COUNT(DISTINCT) would hold every distinct key in the state store;
+    * this holds 64 longs per window, and per-source sketches merge by
+    * elementwise MAX (the same aggregate) without reprocessing. Pure
+    * `DataFrame => DataFrame` — the batch form is the DuckDB-checked
+    * oracle (`q_event_hll`), the streaming form is the same plan run
+    * incrementally (equivalence asserted in StreamingSpec). Register
+    * logic shared with `q_hll_registers` via [[graft.functions.Sketches]]. */
+  def windowedDistinctSketch(events: DataFrame, width: String = "1 day",
+      key: Column = col("user_id")): DataFrame = {
+    import graft.functions.Sketches
+    events
+      .select(col("ts"), Sketches.hash60(key.cast("string")).as("h"))
+      .select(col("ts"), Sketches.bucket(col("h")).as("bucket"),
+        Sketches.rho(col("h").bitwiseAND(Sketches.RemMask)).as("rho"))
+      .groupBy(window(col("ts"), width), col("bucket"))
+      .agg(max(col("rho")).cast("long").as("register"))
+      .select(col("window.start").as("ws"), col("bucket"), col("register"))
+  }
 
   /** Late-data bound: state for windows older than `delay` behind the max
     * observed event time is finalized and dropped. No-op on batch frames

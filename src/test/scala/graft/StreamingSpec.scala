@@ -71,6 +71,16 @@ class StreamingSpec extends SparkSpec {
     batch.agg(sum("n")).head().getLong(0) shouldBe 2 * n
   }
 
+  test("windowed HLL sketch: streaming == batch, registers only grow") {
+    val batch = EventStreams.windowedDistinctSketch(staticEvents)
+    val stream = runStream(EventStreams.windowedDistinctSketch(_), nChunks = 6)
+    canon(stream) shouldBe canon(batch)
+    // bounded-state property: per window at most m = 64 register rows,
+    // regardless of how many distinct users the window saw
+    batch.groupBy("ws").count().agg(max("count")).head().getLong(0) should
+      be <= 64L
+  }
+
   test("session windows: streaming == batch") {
     val batch = EventStreams.sessions(staticEvents)
       .withColumn("sum_value", round(col("sum_value"), 6))
