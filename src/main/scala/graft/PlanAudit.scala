@@ -27,7 +27,9 @@ object PlanAudit {
         "q_decontaminate", "q_gram_blocked", "q_dedup_pipeline",
         "q_pack_chunks", "q_mix_temperature", "q_embed_quantize",
         "q_cooccur_pmi", "q_chunk_overlap", "q_corpus_shuffle",
-        "q_inverted_index", "q_top_ngrams", "q_corpus_stats", "q_pagerank")
+        "q_inverted_index", "q_top_ngrams", "q_corpus_stats", "q_pagerank",
+        "q_count_min", "q_hll_registers", "q_pii_redact", "q_window_range",
+        "q_merge_upsert", "q_event_hll", "q_join_interval")
     for (n <- names) {
       println(s"==== $n ====")
       val df = SparkEntry.queries(n)(spark, d)
