@@ -861,6 +861,43 @@ object Relational {
       .orderBy("ws", "bucket")
   }
 
+  /** X15+/X6: sketch ROLLUP — per-event-type HLL registers AND the
+    * max-merged overall sketch from ONE grouping-sets aggregate. MAX is
+    * distributive, so the ALL row is computed by the same partial-agg
+    * machinery as the per-type rows — this is the mergeability of
+    * [[graft.functions.Sketches]] registers expressed as a declared
+    * query: a register table stored per source/day answers
+    * union-cardinality questions later by re-aggregating 64-cell rows,
+    * never re-reading raw data. At 100 TB the expand doubles only the
+    * narrow (type, bucket, ρ) stream; the exchange stays bounded by
+    * (|types|+1) × 64 cells per task. */
+  private val qHllRollup = Q("q_hll_rollup", {
+    import graft.functions.Sketches
+    s"""WITH ph AS (SELECT event_type,
+       |    ${Sketches.hash60Sql.format("CAST(user_id AS VARCHAR)")} AS h
+       |  FROM events),
+       |rho AS (SELECT event_type, ${Sketches.bucketSql("h")} AS bucket,
+       |    ${Sketches.rhoSql("rem")} AS rho
+       |  FROM (SELECT event_type, h, h & ${Sketches.RemMask} AS rem FROM ph))
+       |SELECT COALESCE(event_type, 'ALL') AS event_type, bucket,
+       |  CAST(MAX(rho) AS BIGINT) AS register
+       |FROM rho GROUP BY GROUPING SETS ((event_type, bucket), (bucket))
+       |ORDER BY event_type, bucket""".stripMargin
+  }) { (s, d) =>
+    import graft.functions.Sketches
+    Tables.events(s, d)
+      .select(col("event_type"),
+        Sketches.hash60(col("user_id").cast("string")).as("h"))
+      .select(col("event_type"), Sketches.bucket(col("h")).as("bucket"),
+        Sketches.rho(col("h").bitwiseAND(Sketches.RemMask)).as("rho"))
+      .createOrReplaceTempView("graft_ev_hll")
+    s.sql("""SELECT COALESCE(event_type, 'ALL') AS event_type, bucket,
+            |  CAST(MAX(rho) AS BIGINT) AS register
+            |FROM graft_ev_hll
+            |GROUP BY GROUPING SETS ((event_type, bucket), (bucket))
+            |ORDER BY event_type, bucket""".stripMargin)
+  }
+
   /** X8+: time-RANGE window frame — per-user trailing-1-hour rolling
     * aggregate (`RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT
     * ROW`), the frame family the ROWS-based windows (q_window_runsum/nav)
@@ -951,5 +988,5 @@ object Relational {
     qPercentile, qEditDistance, qAggGroupingSets, qApproxPercentile,
     qJoinSalted, qSaltedAgg, qSessionize, qPivot, qNtile, qFillForward,
     qEventSlide, qMomentsStats, qJoinInterval, qWindowRange, qMergeUpsert,
-    qEventHll)
+    qEventHll, qHllRollup)
 }
