@@ -76,6 +76,27 @@ class PipelineOpsSpec extends SparkSpec {
     Cleanup(spark)
   }
 
+  test("Sketches.rho ladder is exact at every power-of-two boundary") {
+    import graft.functions.Sketches
+    // the ladder's whole reason to exist is exactness where float log2
+    // rounds: check every 2^k, 2^k−1, 2^k+1 across the 54-bit domain,
+    // plus 0 and the max, against leading-zero bit arithmetic
+    val cases = (0 to 53).flatMap(k =>
+      Seq((1L << k) - 1, 1L << k, (1L << k) + 1)) ++
+      Seq(0L, (1L << 54) - 1)
+    val rems = cases.filter(r => r >= 0 && r < (1L << 54)).distinct
+    def refRho(rem: Long): Int =
+      if (rem == 0) 55
+      else 54 - (63 - java.lang.Long.numberOfLeadingZeros(rem))
+    import spark.implicits._
+    val got = rems.toDF("rem")
+      .select(col("rem"), Sketches.rho(col("rem")).as("rho"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rems.foreach { r =>
+      withClue(s"rem=$r:") { got(r) shouldBe refRho(r) }
+    }
+  }
+
   test("PII redaction is complete and typed: no pattern survives, counts audit") {
     val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
     val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
