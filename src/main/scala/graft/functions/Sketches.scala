@@ -50,4 +50,19 @@ object Sketches {
     (1 to RemBits).map(r =>
       s"WHEN $rem >= ${1L << (RemBits - r)} THEN $r").mkString(
       "CASE ", " ", s" ELSE ${RemBits + 1} END")
+
+  /** Carter–Wegman bucket family for the count-min rows, over the
+    * Mersenne prime P = 2³¹−1: row i maps h → ((h mod P)·aᵢ + bᵢ) mod P
+    * mod w. Products stay < 2⁶³ (h mod P < 2³¹, aᵢ < 2³¹). Same
+    * derivation as the minhash family (one base hash, cheap affine
+    * mixes) so d rows cost ONE md5 per key. */
+  val CmP = 2147483647L
+  def cmA(i: Int): Long = (2654435761L * (2L * i + 1)) % CmP
+  def cmB(i: Int): Long = (40503L * (i + 7L)) % CmP
+
+  def cmBucket(h: Column, i: Int, w: Int): Column =
+    ((h % CmP) * cmA(i) + cmB(i)) % CmP % w
+
+  def cmBucketSql(h: String, i: Int, w: Int): String =
+    s"(($h % $CmP) * ${cmA(i)} + ${cmB(i)}) % $CmP % $w"
 }

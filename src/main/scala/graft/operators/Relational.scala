@@ -898,6 +898,33 @@ object Relational {
             |ORDER BY event_type, bucket""".stripMargin)
   }
 
+  /** X15+: windowed frequency sketch — batch twin of
+    * [[graft.streaming.EventStreams.windowedFreqSketch]] (SAME transform,
+    * static table; stream==batch in StreamingSpec). Per day-window, the
+    * d=4 × w=256 count-min cells over hashed user_id, every cell an
+    * order-free COUNT — checked exactly against DuckDB via the shared
+    * Carter–Wegman family ([[graft.functions.Sketches]]). The streaming
+    * value: hot-key monitoring with |open windows| × d·w bounded state;
+    * the batch value: cells SUM across windows/sources (count-min's
+    * merge is addition — the dual of HLL's register MAX), so stored
+    * cell tables answer later frequency probes without raw data. */
+  private val qEventCountMin = Q("q_event_count_min", {
+    import graft.functions.Sketches
+    val rows = (0 until 4).map(i =>
+      s"SELECT ws, $i AS r, ${Sketches.cmBucketSql("h", i, 256)} AS bkt FROM ph")
+      .mkString(" UNION ALL ")
+    s"""WITH ph AS (SELECT date_trunc('day', ts) AS ws,
+       |    ${Sketches.hash60Sql.format("CAST(user_id AS VARCHAR)")} AS h
+       |  FROM events),
+       |cells AS ($rows)
+       |SELECT ws, r, bkt, CAST(COUNT(*) AS BIGINT) AS cnt
+       |FROM cells GROUP BY ws, r, bkt ORDER BY ws, r, bkt""".stripMargin
+  }) { (s, d) =>
+    graft.streaming.EventStreams
+      .windowedFreqSketch(Tables.events(s, d), "1 day")
+      .orderBy("ws", "r", "bkt")
+  }
+
   /** X8+: time-RANGE window frame — per-user trailing-1-hour rolling
     * aggregate (`RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT
     * ROW`), the frame family the ROWS-based windows (q_window_runsum/nav)
@@ -988,5 +1015,5 @@ object Relational {
     qPercentile, qEditDistance, qAggGroupingSets, qApproxPercentile,
     qJoinSalted, qSaltedAgg, qSessionize, qPivot, qNtile, qFillForward,
     qEventSlide, qMomentsStats, qJoinInterval, qWindowRange, qMergeUpsert,
-    qEventHll, qHllRollup)
+    qEventHll, qHllRollup, qEventCountMin)
 }

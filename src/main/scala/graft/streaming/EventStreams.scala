@@ -93,6 +93,30 @@ object EventStreams {
       .select(col("window.start").as("ws"), col("bucket"), col("register"))
   }
 
+  /** Windowed frequency sketch: per tumbling `width` window, the d × w
+    * count-min cells over the hashed key — streaming heavy-hitter /
+    * hot-key monitoring (who is flooding the ingest this hour?) with
+    * state bounded at |open windows| × d·w cells regardless of key
+    * cardinality. Emits the CELLS (like [[windowedDistinctSketch]]
+    * emits registers): point estimates are a downstream min-over-d
+    * lookup against any probe set, and cells from different
+    * sources/windows SUM — count-min's merge is addition, the dual of
+    * the HLL register MAX. Pure `DataFrame => DataFrame`; batch twin
+    * `q_event_count_min` is the DuckDB-checked oracle, stream==batch in
+    * StreamingSpec. */
+  def windowedFreqSketch(events: DataFrame, width: String = "1 day",
+      key: Column = col("user_id"), d: Int = 4, w: Int = 256): DataFrame = {
+    import graft.functions.Sketches
+    events
+      .select(col("ts"), Sketches.hash60(key.cast("string")).as("h"))
+      .select(col("ts"), explode(array((0 until d).map(i =>
+        struct(lit(i).as("r"),
+          Sketches.cmBucket(col("h"), i, w).as("bkt"))): _*)).as("c"))
+      .groupBy(window(col("ts"), width), col("c.r"), col("c.bkt"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("ws"), col("r"), col("bkt"), col("cnt"))
+  }
+
   /** Late-data bound: state for windows older than `delay` behind the max
     * observed event time is finalized and dropped. No-op on batch frames
     * (Spark ignores watermarks there) — same plan, both modes. */

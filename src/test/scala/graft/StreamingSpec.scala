@@ -81,6 +81,19 @@ class StreamingSpec extends SparkSpec {
       be <= 64L
   }
 
+  test("windowed count-min sketch: streaming == batch, cell count bounded") {
+    val batch = EventStreams.windowedFreqSketch(staticEvents)
+    val stream = runStream(EventStreams.windowedFreqSketch(_), nChunks = 5)
+    canon(stream) shouldBe canon(batch)
+    // bounded-state property: at most d*w = 1024 cells per window
+    batch.groupBy("ws").count().agg(max("count")).head().getLong(0) should
+      be <= 1024L
+    // conservation: each of the d rows counts every event exactly once
+    val n = staticEvents.count()
+    batch.groupBy("r").agg(sum("cnt").as("s")).collect()
+      .foreach(_.getLong(1) shouldBe n)
+  }
+
   test("session windows: streaming == batch") {
     val batch = EventStreams.sessions(staticEvents)
       .withColumn("sum_value", round(col("sum_value"), 6))
