@@ -123,6 +123,24 @@ object Bench {
     new java.io.File("target").mkdirs()
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench.json"), json + "\n")
+    // The driver keeps only the LAST ~2000 chars of stdout and JSON-parses
+    // the first '{"metric"…}' it finds there — every BENCH_r1–r6 artifact
+    // has parsed:null because the full line above is ~8 KB and its head is
+    // truncated away. Emit a compact summary as the FINAL line, sized to
+    // survive the tail window (total + failures always; per-query seconds
+    // for as many of the slowest queries as fit). The lossless record
+    // stays in target/bench.json.
+    val budget = 1800 // tail is 2000; leave room for the sbt epilogue line
+    val byTime = results.filter(_._2 >= 0).sortBy(-_._2)
+    def compact(n: Int): String = {
+      val qpart = byTime.take(n)
+        .map { case (k, v) => f""""$k":${math.rint(v * 100) / 100}%s""" }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${math.rint(total * 100) / 100},"unit":"sec","measure":"min-of-reps, warm page cache","nqueries":${results.size},"full":"target/bench.json","failed":$failed,"sf":"$sfDir","queries":$qpart}"""
+    }
+    val fitting = (byTime.size to 0 by -1).view.map(compact)
+      .find(_.length <= budget).getOrElse(compact(0))
+    println(fitting)
     spark.stop()
   }
 }

@@ -76,12 +76,15 @@ object Graph {
         .select(col("dst").as("node"),
           (lit(0.15) / n + lit(0.85) * (col("sc") / 1000000000000.0))
             .as("pr"))
-      // sever lineage every SECOND round: plan depth stays bounded by 2
-      // iterations (still O(1) in nIters — the knob-safety property the
-      // plan-growth test pins) at half the eager materializations; the
-      // terminal iteration flows into the caller's projection
-      // unmaterialized
-      if (i < nIters && i % 2 == 0) pr = pr.localCheckpoint(true)
+      // sever lineage EVERY round (the r5 cadence): the round-6
+      // every-2nd-round relaxation looked faster solo (2.30 s) but
+      // regressed under the full-suite bench (3.16 s → 3.94 s, r5→r6
+      // artifacts) — the doubled plan depth re-plans two joined
+      // iterations per round and its unmaterialized intermediates
+      // compete for memory with neighboring queries. The terminal
+      // iteration still flows into the caller's projection
+      // unmaterialized.
+      if (i < nIters) pr = pr.localCheckpoint(true)
     }
     pr
   }
