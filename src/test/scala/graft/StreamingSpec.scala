@@ -17,15 +17,46 @@ import org.apache.spark.sql.streaming.OutputMode
   */
 class StreamingSpec extends SparkSpec {
 
-  private def staticEvents: DataFrame = Tables.events(spark, sfDir)
-
-  private def asEvents: Seq[Event] = {
-    staticEvents.collect().map { r =>
-      Event(r.getAs[Long]("event_id"), r.getAs[Timestamp]("ts"),
-        r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
-        r.getAs[Double]("value"), r.getAs[String]("props"))
-    }.toSeq
+  /** Deterministic synthetic events, shaped like the testdata table
+    * (bursty per-user arrivals → real session gaps; purchase/error types
+    * for the interval join) but generated in-process: the stream==batch
+    * equivalence property is about the TRANSFORMS, not any external
+    * table, and a generated fixture keeps this suite green across
+    * testdata regenerations (the round-6 failure mode).
+    */
+  private lazy val fixtureEvents: Seq[Event] = {
+    val rnd = new scala.util.Random(20240501L)
+    val types = Array("click", "view", "purchase", "error")
+    val t0 = Timestamp.valueOf("2024-05-01 00:00:00").getTime
+    var id = 0L
+    (1 to 40).flatMap { user =>
+      // each user: a few bursts separated by >30 min (session gaps),
+      // events inside a burst seconds-to-minutes apart
+      var t = t0 + rnd.nextInt(3 * 3600) * 1000L
+      (0 until 2 + rnd.nextInt(3)).flatMap { _ =>
+        t += (45 + rnd.nextInt(180)) * 60000L // inter-burst gap ≥ 45 min
+        (0 until 3 + rnd.nextInt(8)).map { _ =>
+          t += (5 + rnd.nextInt(600)) * 1000L
+          id += 1
+          Event(id, new Timestamp(t), user.toLong,
+            types(rnd.nextInt(types.length)),
+            math.rint(rnd.nextDouble() * 1000) / 16.0,
+            s"""{"n":${rnd.nextInt(100)}}""")
+        }
+      }
+      // globally time-sorted, like the real table: several consumers feed
+      // chunks in sequence order, and watermark-bearing stateful operators
+      // (dedupEvents) drop arrivals behind the watermark — an unordered
+      // fixture would silently shed whole users as "late data"
+    }.sortBy(e => (e.ts.getTime, e.event_id))
   }
+
+  private def staticEvents: DataFrame = {
+    import spark.implicits._
+    fixtureEvents.toDS().toDF()
+  }
+
+  private def asEvents: Seq[Event] = fixtureEvents
 
   /** Run a streaming aggregation over the events fed in `nChunks`
     * micro-batches; return the final complete-mode result. */
