@@ -6,8 +6,10 @@ Usage: make_sf.py <srcDir> <dstDir> [K=10]
 
 Local stress-testing tool only (the driver's testdata is read-only and
 tops out at sf0.1). pyarrow round-trip preserves the exact physical
-schemas — notably events.ts stays TIMESTAMP(NANOS), which the library
-reads through graft.Tables.events's nanosAsLong path.
+schemas — notably events.ts keeps whatever timestamp encoding the
+source dir has (TIMESTAMP_NTZ micros since the 2026-08-13 generation;
+TIMESTAMP(NANOS) before), which graft.Tables.events normalizes by
+branching on the reported dtype.
 
 Copy i != 0 mutations:
   - every key column shifts by i * (a range-clearing constant), with
