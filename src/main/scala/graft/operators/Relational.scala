@@ -251,6 +251,73 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** X7 companion, ORACLE-CHECKED approximate percentile: a mergeable
+    * fixed-bin histogram quantile — the q_hll_registers pattern applied
+    * to percentiles. Where `q_approx_percentile` (Spark's t-digest-style
+    * approx_percentile) is engine-specific and rows-only, this sketch is
+    * engine-EXACT: integer cents, per-group [min, max] split into 256
+    * equal integer bins, counts summed as BIGINTs, nearest-rank bucket
+    * picked by integer cumulative sums, estimate = the bucket's lower
+    * edge — every step bit-identical in any engine, so the declared
+    * query hash-matches its SQL while keeping the bounded-state property
+    * that makes approximate percentiles worth running at 100 TB.
+    *
+    * Scale shape: two scans (per-group min/max/count, then bucket
+    * counts) with the tiny stats frame broadcast between them; sketch
+    * state is ≤ 256 counters per group after partial aggregation —
+    * mergeable by cell-wise addition exactly like count-min, so
+    * per-source histograms roll up without re-reading data. The
+    * cumulative window runs over ≤ 256 rows per group. Error is
+    * one-sided and bounded by one bin width ((mx−mn+1)/256 cents),
+    * asserted against the exact percentile in ShuffleAuditSpec. */
+  private val qHistPercentile = Q("q_hist_percentile",
+    """WITH x AS (SELECT l_returnflag AS rf,
+      |    CAST(ROUND(l_extendedprice*100) AS BIGINT) AS c FROM lineitem),
+      |mm AS (SELECT rf, MIN(c) AS mn, MAX(c) AS mx, COUNT(*) AS n
+      |  FROM x GROUP BY rf),
+      |bk AS (SELECT x.rf, ((x.c - mm.mn) * 256) // (mm.mx - mm.mn + 1) AS b
+      |  FROM x JOIN mm ON x.rf = mm.rf),
+      |h AS (SELECT rf, b, COUNT(*) AS cnt FROM bk GROUP BY rf, b),
+      |cum AS (SELECT rf, b,
+      |    SUM(cnt) OVER (PARTITION BY rf ORDER BY b) AS cum FROM h),
+      |s50 AS (SELECT cum.rf, MIN(cum.b) AS bsel FROM cum
+      |  JOIN mm ON cum.rf = mm.rf
+      |  WHERE cum.cum >= (mm.n + 1) // 2 GROUP BY cum.rf),
+      |s95 AS (SELECT cum.rf, MIN(cum.b) AS bsel FROM cum
+      |  JOIN mm ON cum.rf = mm.rf
+      |  WHERE cum.cum >= (19 * mm.n + 19) // 20 GROUP BY cum.rf)
+      |SELECT mm.rf AS l_returnflag,
+      |  ROUND((mm.mn + (s50.bsel * (mm.mx - mm.mn + 1)) // 256) / 100.0, 6)
+      |    AS p50_hist,
+      |  ROUND((mm.mn + (s95.bsel * (mm.mx - mm.mn + 1)) // 256) / 100.0, 6)
+      |    AS p95_hist,
+      |  mm.n AS n
+      |FROM mm JOIN s50 ON mm.rf = s50.rf JOIN s95 ON mm.rf = s95.rf
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val x = Tables.lineitem(s, d).select(col("l_returnflag").as("rf"),
+      round(col("l_extendedprice") * 100).cast("long").as("c"))
+    val mm = x.groupBy("rf")
+      .agg(min("c").as("mn"), max("c").as("mx"), count(lit(1)).as("n"))
+    val bkt = x.join(broadcast(mm), "rf")
+      .select(col("rf"), expr("((c - mn) * 256) DIV (mx - mn + 1)").as("b"))
+    val h = bkt.groupBy("rf", "b").agg(count(lit(1)).as("cnt"))
+    val cum = h.withColumn("cum",
+      sum("cnt").over(Window.partitionBy("rf").orderBy("b")))
+      .join(broadcast(mm), "rf")
+    val s50 = cum.filter(col("cum") >= expr("(n + 1) DIV 2"))
+      .groupBy("rf").agg(min("b").as("b50"))
+    val s95 = cum.filter(col("cum") >= expr("(19 * n + 19) DIV 20"))
+      .groupBy("rf").agg(min("b").as("b95"))
+    mm.join(s50, "rf").join(s95, "rf")
+      .select(col("rf").as("l_returnflag"),
+        round((col("mn") + expr("(b50 * (mx - mn + 1)) DIV 256")) / 100.0, 6)
+          .as("p50_hist"),
+        round((col("mn") + expr("(b95 * (mx - mn + 1)) DIV 256")) / 100.0, 6)
+          .as("p95_hist"),
+        col("n"))
+      .orderBy("l_returnflag")
+  }
+
   /** Exact distinct aggregation (expand + two-phase agg under the hood). */
   private val qAggDistinct = Q("q_agg_distinct",
     """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_part,
@@ -1013,6 +1080,7 @@ object Relational {
     qWindowRank, qWindowRunsum, qWindowNav, qTopk, qUnion, qIntersect, qExcept,
     qStringDateFns, qJsonExtract, qEventTumble, qAggApprox, qAggCube, qJoinAsof,
     qPercentile, qEditDistance, qAggGroupingSets, qApproxPercentile,
+    qHistPercentile,
     qJoinSalted, qSaltedAgg, qSessionize, qPivot, qNtile, qFillForward,
     qEventSlide, qMomentsStats, qJoinInterval, qWindowRange, qMergeUpsert,
     qEventHll, qHllRollup, qEventCountMin)

@@ -337,4 +337,37 @@ class ShuffleAuditSpec extends SparkSpec {
     val b = shuffleWriteBytes(relByName("q_groupby_agg").fn(spark, sf01))
     withClue(s"shuffle bytes = $b:") { b should be < 32L * 1024 }
   }
+
+  test("histogram percentile: one-sided error within a bin width of the exact value") {
+    // q_hist_percentile's estimate is the selected bucket's lower edge;
+    // the rank-th value lies inside that bucket, so for each group
+    //   hist ≤ exact_nearest_rank ≤ hist + binWidth,
+    // and the continuous-interpolated q_percentile sits within one more
+    // bin of the nearest-rank value. Assert the ≤ 2-bin envelope at
+    // sf0.01 for both probes.
+    val hist = relByName("q_hist_percentile").fn(spark, sf01)
+      .collect().map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Double]("p50_hist"), r.getAs[Double]("p95_hist"))).toMap
+    val exact = relByName("q_percentile").fn(spark, sf01)
+      .collect().map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Double]("p50"), r.getAs[Double]("p95"))).toMap
+    val width = Tables.lineitem(spark, sf01)
+      .select(round(col("l_extendedprice") * 100).cast("long").as("c"),
+        col("l_returnflag").as("rf"))
+      .groupBy("rf")
+      .agg(((max("c") - min("c") + 1) / 256.0 / 100.0).as("w"))
+      .collect().map(r => r.getAs[String]("rf") -> r.getAs[Double]("w")).toMap
+    exact.keySet shouldBe hist.keySet
+    for (rf <- exact.keys) {
+      val w = width(rf)
+      withClue(s"group $rf p50 (bin width $w):") {
+        hist(rf)._1 should be <= exact(rf)._1
+        (exact(rf)._1 - hist(rf)._1) should be <= 2 * w
+      }
+      withClue(s"group $rf p95 (bin width $w):") {
+        hist(rf)._2 should be <= exact(rf)._2
+        (exact(rf)._2 - hist(rf)._2) should be <= 2 * w
+      }
+    }
+  }
 }
