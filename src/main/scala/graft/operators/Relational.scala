@@ -992,6 +992,24 @@ object Relational {
       .orderBy("ws", "r", "bkt")
   }
 
+  /** X15 × X7: windowed value-histogram sketch — the batch twin of
+    * `EventStreams.windowedValueHist` (same transform, stream==batch in
+    * StreamingSpec), completing the streaming sketch matrix: HLL counts
+    * distincts, count-min counts frequencies, this counts the value
+    * DISTRIBUTION, making per-window percentile monitoring a ≤256-cell
+    * cumulative readout. Bin width 4.0 is a power of two → `value/4.0`
+    * is an exponent shift, exact in both engines; clamp and counts are
+    * integer ops, so the sketch cells hash-match the oracle exactly. */
+  private val qEventHist = Q("q_event_hist",
+    """SELECT date_trunc('day', ts) AS ws,
+      |  LEAST(255, GREATEST(0, CAST(FLOOR(value / 4.0) AS BIGINT))) AS bin,
+      |  CAST(COUNT(*) AS BIGINT) AS cnt
+      |FROM events GROUP BY 1, 2 ORDER BY ws, bin""".stripMargin) { (s, d) =>
+    graft.streaming.EventStreams
+      .windowedValueHist(Tables.events(s, d), "1 day")
+      .orderBy("ws", "bin")
+  }
+
   /** X8+: time-RANGE window frame — per-user trailing-1-hour rolling
     * aggregate (`RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT
     * ROW`), the frame family the ROWS-based windows (q_window_runsum/nav)
@@ -1083,5 +1101,5 @@ object Relational {
     qHistPercentile,
     qJoinSalted, qSaltedAgg, qSessionize, qPivot, qNtile, qFillForward,
     qEventSlide, qMomentsStats, qJoinInterval, qWindowRange, qMergeUpsert,
-    qEventHll, qHllRollup, qEventCountMin)
+    qEventHll, qHllRollup, qEventCountMin, qEventHist)
 }

@@ -117,6 +117,35 @@ object EventStreams {
       .select(col("window.start").as("ws"), col("r"), col("bkt"), col("cnt"))
   }
 
+  /** Windowed fixed-bin value histogram — the percentile-monitoring
+    * sketch, completing the streaming sketch family (HLL → distincts,
+    * count-min → frequencies, histogram → quantiles): per tumbling
+    * `width` window, counts of `value` in `bins` ABSOLUTE equal-width
+    * bins over [lo, hi) with out-of-range values clamped into the edge
+    * bins. Absolute bins because streaming admits no two-pass min/max
+    * (contrast `q_hist_percentile`, whose batch form sizes bins from
+    * per-group extremes): the range is an operating parameter, which is
+    * how a production latency monitor runs anyway. State is bounded at
+    * |open windows| × bins counters regardless of event volume; cells
+    * from different windows/sources merge by ADDITION (count-min's
+    * merge), and any percentile is a downstream cumulative-sum readout
+    * over ≤ `bins` cells. Determinism: the default bin width (hi−lo)/bins
+    * = 4.0 is a power of two, so value/4.0 is an exponent shift — exact
+    * in any IEEE engine — and floor/clamp are integer-identical. Pure
+    * `DataFrame => DataFrame`; batch twin `q_event_hist` is the
+    * DuckDB-checked oracle, stream==batch in StreamingSpec. */
+  def windowedValueHist(events: DataFrame, width: String = "1 day",
+      value: Column = col("value"), bins: Int = 256,
+      lo: Double = 0.0, hi: Double = 1024.0): DataFrame = {
+    val binW = (hi - lo) / bins
+    val bin = least(lit((bins - 1).toLong), greatest(lit(0L),
+      floor((value - lo) / binW)))
+    events
+      .groupBy(window(col("ts"), width), bin.as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("ws"), col("bin"), col("cnt"))
+  }
+
   /** Late-data bound: state for windows older than `delay` behind the max
     * observed event time is finalized and dropped. No-op on batch frames
     * (Spark ignores watermarks there) — same plan, both modes. */

@@ -125,6 +125,17 @@ class StreamingSpec extends SparkSpec {
       .foreach(_.getLong(1) shouldBe n)
   }
 
+  test("windowed value histogram: streaming == batch, bins bounded and conservative") {
+    val batch = EventStreams.windowedValueHist(staticEvents)
+    val stream = runStream(EventStreams.windowedValueHist(_), nChunks = 6)
+    canon(stream) shouldBe canon(batch)
+    // bounded-state property: at most 256 bin rows per window
+    batch.groupBy("ws").count().agg(max("count")).head().getLong(0) should
+      be <= 256L
+    // conservation: the histogram counts every event exactly once
+    batch.agg(sum("cnt")).head().getLong(0) shouldBe staticEvents.count()
+  }
+
   test("session windows: streaming == batch") {
     val batch = EventStreams.sessions(staticEvents)
       .withColumn("sum_value", round(col("sum_value"), 6))
