@@ -296,19 +296,26 @@ object Relational {
       |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
     val x = Tables.lineitem(s, d).select(col("l_returnflag").as("rf"),
       round(col("l_extendedprice") * 100).cast("long").as("c"))
+    // |groups| rows; materialize once — its three consumers (bucket
+    // pass, rank thresholds, edge reconstruction) would otherwise each
+    // re-run the stats scan of the fact table
     val mm = x.groupBy("rf")
       .agg(min("c").as("mn"), max("c").as("mx"), count(lit(1)).as("n"))
+      .localCheckpoint(true)
     val bkt = x.join(broadcast(mm), "rf")
       .select(col("rf"), expr("((c - mn) * 256) DIV (mx - mn + 1)").as("b"))
     val h = bkt.groupBy("rf", "b").agg(count(lit(1)).as("cnt"))
     val cum = h.withColumn("cum",
       sum("cnt").over(Window.partitionBy("rf").orderBy("b")))
       .join(broadcast(mm), "rf")
-    val s50 = cum.filter(col("cum") >= expr("(n + 1) DIV 2"))
-      .groupBy("rf").agg(min("b").as("b50"))
-    val s95 = cum.filter(col("cum") >= expr("(19 * n + 19) DIV 20"))
-      .groupBy("rf").agg(min("b").as("b95"))
-    mm.join(s50, "rf").join(s95, "rf")
+    // both rank picks in ONE conditional-min pass over the (≤256-row per
+    // group) cumulative histogram — separate filter+agg branches would
+    // rebuild the whole two-scan histogram subtree per percentile
+    val sel = cum.groupBy("rf").agg(
+      min(when(col("cum") >= expr("(n + 1) DIV 2"), col("b"))).as("b50"),
+      min(when(col("cum") >= expr("(19 * n + 19) DIV 20"), col("b")))
+        .as("b95"))
+    mm.join(sel, "rf")
       .select(col("rf").as("l_returnflag"),
         round((col("mn") + expr("(b50 * (mx - mn + 1)) DIV 256")) / 100.0, 6)
           .as("p50_hist"),
