@@ -31,9 +31,19 @@ object AsOf {
     * `r_`-prefixed; `rightTs` returns as `r_ts`. Right side should be
     * unique per (key, ts) — pre-aggregate if not (result would otherwise
     * depend on tie order, which no engine defines for as-of).
+    *
+    * `maxStalenessSeconds`: when set, a matched right row older than the
+    * bound is no match at all (the row drops, inner semantics) — the
+    * feature-store freshness contract: "enrich with the latest feature
+    * value, unless it has gone stale". A post-filter on the carried
+    * `r_ts`, so the plan shape (one shuffle on the key, per-key sort) is
+    * unchanged; the bound prunes AFTER the single-pass carry rather than
+    * re-scoping the window, which would reintroduce the O(n·m) range
+    * join this composition exists to avoid.
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
-      leftTs: String = "ts", rightTs: String = "ts"): DataFrame = {
+      leftTs: String = "ts", rightTs: String = "ts",
+      maxStalenessSeconds: Option[Long] = None): DataFrame = {
     val rPayload = right.columns.filter(c => c != key && c != rightTs)
     val rCols = ("r_ts" +: rPayload.map("r_" + _)).toSeq
     val lCols = left.columns.filterNot(_ == key).toSeq
@@ -85,9 +95,14 @@ object AsOf {
 
     // getField, not col("__r.name"): a payload column whose name contains
     // a dot (legal in DataFrames) would parse as a deeper nested path
-    rCols.foldLeft(carried)((df, c) =>
+    val matched = rCols.foldLeft(carried)((df, c) =>
       df.withColumn(c, col("__r").getField(c)))
       .filter(col("__is_left") === 1 && col("r_ts").isNotNull)
-      .drop("__ts", "__is_left", "__r")
+    val bounded = maxStalenessSeconds match {
+      case Some(sec) => matched.filter(
+        col("r_ts") >= col("__ts") - expr(s"INTERVAL '$sec' SECOND"))
+      case None => matched
+    }
+    bounded.drop("__ts", "__is_left", "__r")
   }
 }

@@ -608,6 +608,38 @@ object Relational {
         .orderBy("l_returnflag")
   }
 
+  /** X5+: tolerance-bounded as-of join — the feature-store freshness
+    * contract ("enrich with the latest error, unless it is staler than
+    * 24 h"). Same single-shuffle carry as `q_join_asof`; the bound is a
+    * post-filter on the carried `r_ts`, so rows whose only match is
+    * stale DROP (inner semantics) instead of carrying a zombie feature.
+    * DuckDB's WHERE applies after its ASOF JOIN — identical semantics. */
+  private val qJoinAsofTol = Q("q_join_asof_tol",
+    """WITH p AS (SELECT event_id, user_id, ts FROM events
+      |           WHERE event_type = 'purchase'),
+      |err AS (SELECT user_id, ts, MAX(event_id) AS err_id FROM events
+      |        WHERE event_type = 'error' GROUP BY user_id, ts),
+      |j AS MATERIALIZED (
+      |      SELECT p.event_id, p.ts AS pts, err.ts AS ets, err.err_id
+      |      FROM p ASOF JOIN err
+      |        ON p.user_id = err.user_id AND err.ts <= p.ts)
+      |SELECT event_id, err_id AS r_err_id,
+      |  CAST(date_diff('second', ets, pts) AS BIGINT) AS lag_s
+      |FROM j WHERE ets >= pts - INTERVAL 86400 SECOND
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val errors = ev.filter(col("event_type") === "error")
+      .groupBy("user_id", "ts").agg(max("event_id").as("err_id"))
+    AsOf.asofJoin(purchases, errors, key = "user_id",
+        maxStalenessSeconds = Some(86400L))
+      .select(col("event_id"), col("r_err_id"),
+        (unix_timestamp(col("ts")) - unix_timestamp(col("r_ts")))
+          .as("lag_s"))
+      .orderBy("event_id")
+  }
+
   /** X11+: edit-distance similarity — levenshtein is a built-in in both
     * engines. The blocking-key pattern in miniature: equi-join on brand,
     * a length-band predicate (|len(a)−len(b)| ≤ k is a levenshtein lower
@@ -1017,6 +1049,44 @@ object Relational {
       .orderBy("ws", "bin")
   }
 
+  /** The percentile READOUT over `q_event_hist`'s cells — what a latency
+    * dashboard actually displays per window: p50/p95 estimates from the
+    * ≤256-cell cumulative histogram (bin lower edge × width; the
+    * q_hist_percentile nearest-rank discipline, every step
+    * integer-exact). The sketch aggregates the event volume; this query
+    * touches only |windows| × 256 cells — the separation that lets the
+    * readout run on a dashboard tick while the sketch runs on the
+    * stream. */
+  private val qEventHistPct = Q("q_event_hist_pct",
+    """WITH h AS (SELECT date_trunc('day', ts) AS ws,
+      |    LEAST(255, GREATEST(0, CAST(FLOOR(value / 4.0) AS BIGINT))) AS bin,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |t AS (SELECT ws, CAST(SUM(cnt) AS BIGINT) AS n FROM h GROUP BY ws),
+      |c AS (SELECT h.ws, h.bin, h.cnt, t.n,
+      |    SUM(h.cnt) OVER (PARTITION BY h.ws ORDER BY h.bin) AS cum
+      |  FROM h JOIN t ON h.ws = t.ws)
+      |SELECT ws,
+      |  MIN(CASE WHEN cum >= (n + 1) // 2 THEN bin END) * 4.0 AS p50_est,
+      |  MIN(CASE WHEN cum >= (19 * n + 19) // 20 THEN bin END) * 4.0
+      |    AS p95_est,
+      |  MAX(n) AS n
+      |FROM c GROUP BY ws ORDER BY ws""".stripMargin) { (s, d) =>
+    val cells = graft.streaming.EventStreams
+      .windowedValueHist(Tables.events(s, d), "1 day")
+    val tot = cells.groupBy("ws").agg(sum("cnt").as("n"))
+    val c = cells.withColumn("cum",
+        sum("cnt").over(Window.partitionBy("ws").orderBy("bin")))
+      .join(broadcast(tot), "ws")
+    c.groupBy("ws").agg(
+        (min(when(col("cum") >= expr("(n + 1) DIV 2"), col("bin"))) * 4.0)
+          .as("p50_est"),
+        (min(when(col("cum") >= expr("(19 * n + 19) DIV 20"), col("bin")))
+          * 4.0).as("p95_est"),
+        max("n").as("n"))
+      .orderBy("ws")
+  }
+
   /** X8+: time-RANGE window frame — per-user trailing-1-hour rolling
     * aggregate (`RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT
     * ROW`), the frame family the ROWS-based windows (q_window_runsum/nav)
@@ -1108,5 +1178,6 @@ object Relational {
     qHistPercentile,
     qJoinSalted, qSaltedAgg, qSessionize, qPivot, qNtile, qFillForward,
     qEventSlide, qMomentsStats, qJoinInterval, qWindowRange, qMergeUpsert,
-    qEventHll, qHllRollup, qEventCountMin, qEventHist)
+    qEventHll, qHllRollup, qEventCountMin, qEventHist, qEventHistPct,
+    qJoinAsofTol)
 }

@@ -35,6 +35,29 @@ class AsOfSpec extends SparkSpec {
     got shouldBe Map("p1" -> 200.0, "p2" -> 300.0, "p4" -> 400.0)
   }
 
+  test("staleness bound drops rows whose only match is too old, keeps fresh ones") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, t("2024-01-01 10:00:00"), "fresh"),   // match 5 min old: kept
+      (2L, t("2024-01-01 12:00:00"), "stale"),   // match 125 min old: dropped
+      (3L, t("2024-01-01 09:00:00"), "none")     // no prior match at all
+    ).toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, t("2024-01-01 09:55:00"), 1.0),
+      (2L, t("2024-01-01 09:55:00"), 2.0)
+    ).toDF("user_id", "ts", "amount")
+    val got = AsOf.asofJoin(left, right, key = "user_id",
+        maxStalenessSeconds = Some(3600L))
+      .select("tag").collect().map(_.getString(0)).toSeq
+    got shouldBe Seq("fresh")
+    // same instant is 0 seconds stale — still a match at any bound
+    val same = AsOf.asofJoin(
+      Seq((9L, t("2024-01-01 10:00:00"), "x")).toDF("user_id", "ts", "tag"),
+      Seq((9L, t("2024-01-01 10:00:00"), 5.0)).toDF("user_id", "ts", "amount"),
+      key = "user_id", maxStalenessSeconds = Some(0L))
+    same.count() shouldBe 1L
+  }
+
   test("as-of carries every right payload column and preserves left columns") {
     import spark.implicits._
     val left = Seq((7L, t("2024-02-01 00:00:05"), 42, "keepme"))
