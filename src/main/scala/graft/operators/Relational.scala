@@ -640,6 +640,78 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** X6/X8 composition, warehouse staple: SCD2 history build — turn a
+    * change log into versioned validity intervals. Per user, ordered by
+    * (ts, event_id): keep only rows where event_type CHANGES (lag
+    * compare), then close each version with the next change's ts
+    * (lead; null = current version). Deterministic because event_id
+    * breaks ts ties totally. Scale shape: one shuffle on the key, two
+    * window passes over the same sort order (single Window sort at
+    * runtime — Spark collapses same-spec windows). */
+  private val qScd2 = Q("q_scd2",
+    """WITH o AS (SELECT user_id, event_type, ts, event_id,
+      |    LAG(event_type) OVER w AS prev
+      |  FROM events WINDOW w AS (PARTITION BY user_id
+      |    ORDER BY ts, event_id)),
+      |c AS (SELECT user_id, event_type, ts AS valid_from, event_id
+      |  FROM o WHERE prev IS NULL OR event_type <> prev)
+      |SELECT user_id, event_type, valid_from,
+      |  LEAD(valid_from) OVER (PARTITION BY user_id
+      |    ORDER BY valid_from, event_id) AS valid_to,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+      |    ORDER BY valid_from, event_id) AS BIGINT) AS version
+      |FROM c ORDER BY user_id, version""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val changes = Tables.events(s, d)
+      .select("user_id", "event_type", "ts", "event_id")
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .filter(col("prev").isNull || col("event_type") =!= col("prev"))
+      .select(col("user_id"), col("event_type"),
+        col("ts").as("valid_from"), col("event_id"))
+    val w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    changes
+      .withColumn("valid_to", lead("valid_from", 1).over(w2))
+      .withColumn("version", row_number().over(w2).cast("long"))
+      .select("user_id", "event_type", "valid_from", "valid_to", "version")
+      .orderBy("user_id", "version")
+  }
+
+  /** Funnel analysis — ordered-stage conversion counting, the product-
+    * analytics operator OLAP engines grow custom syntax for: how many
+    * users did view → click → purchase IN ORDER? Each stage's entry time
+    * is the user's earliest qualifying event STRICTLY AFTER the previous
+    * stage's entry. Three chained min-after aggregates, each one shuffle
+    * on user_id with the previous stage's one-row-per-user frame joined
+    * in (AQE broadcasts it) — no per-user event explode, no window over
+    * the full event set; every exchange carries per-user scalars. */
+  private val qFunnel = Q("q_funnel",
+    """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+      |  JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+      |  JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      |  GROUP BY e.user_id)
+      |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_view,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n_click_after,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n_purchase_after""".stripMargin) {
+    (s, d) =>
+      val ev = Tables.events(s, d)
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val s2 = ev.filter(col("event_type") === "click")
+        .join(s1, "user_id").filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, "user_id").filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      s1.agg(count(lit(1)).as("n_view"))
+        .crossJoin(s2.agg(count(lit(1)).as("n_click_after")))
+        .crossJoin(s3.agg(count(lit(1)).as("n_purchase_after")))
+  }
+
   /** X11+: edit-distance similarity — levenshtein is a built-in in both
     * engines. The blocking-key pattern in miniature: equi-join on brand,
     * a length-band predicate (|len(a)−len(b)| ≤ k is a levenshtein lower
@@ -1179,5 +1251,5 @@ object Relational {
     qJoinSalted, qSaltedAgg, qSessionize, qPivot, qNtile, qFillForward,
     qEventSlide, qMomentsStats, qJoinInterval, qWindowRange, qMergeUpsert,
     qEventHll, qHllRollup, qEventCountMin, qEventHist, qEventHistPct,
-    qJoinAsofTol)
+    qJoinAsofTol, qScd2, qFunnel)
 }
