@@ -699,11 +699,16 @@ object Relational {
       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n_purchase_after""".stripMargin) {
     (s, d) =>
       val ev = Tables.events(s, d)
+      // each stage frame is one row per user and has TWO consumers (the
+      // next stage's join + its own count) — materialize so the plan
+      // scans events once per stage, not once per consumer
       val s1 = ev.filter(col("event_type") === "view")
         .groupBy("user_id").agg(min("ts").as("t1"))
+        .localCheckpoint(true)
       val s2 = ev.filter(col("event_type") === "click")
         .join(s1, "user_id").filter(col("ts") > col("t1"))
         .groupBy("user_id").agg(min("ts").as("t2"))
+        .localCheckpoint(true)
       val s3 = ev.filter(col("event_type") === "purchase")
         .join(s2, "user_id").filter(col("ts") > col("t2"))
         .groupBy("user_id").agg(min("ts").as("t3"))
