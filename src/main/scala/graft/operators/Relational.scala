@@ -717,6 +717,35 @@ object Relational {
         .crossJoin(s3.agg(count(lit(1)).as("n_purchase_after")))
   }
 
+  /** Cohort retention — the product-analytics companion to `q_funnel`:
+    * users cohorted by first-seen day, then the (cohort, day-offset)
+    * activity matrix a retention curve reads off. Two aggregates over
+    * one (user, day) distinct projection: exchanges carry per-user days
+    * and per-cell counts, never events. Day arithmetic on
+    * midnight-truncated timestamps is calendar-exact in both engines. */
+  private val qCohortRetention = Q("q_cohort_retention",
+    """WITH act AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+      |  FROM events),
+      |first AS (SELECT user_id, MIN(day) AS cohort FROM act
+      |  GROUP BY user_id)
+      |SELECT first.cohort,
+      |  CAST(date_diff('day', first.cohort, act.day) AS BIGINT)
+      |    AS day_offset,
+      |  CAST(COUNT(*) AS BIGINT) AS n_active
+      |FROM act JOIN first ON act.user_id = first.user_id
+      |GROUP BY 1, 2 ORDER BY cohort, day_offset""".stripMargin) { (s, d) =>
+    val act = Tables.events(s, d)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+      .localCheckpoint(true) // two consumers: cohort agg + the join probe
+    val first = act.groupBy("user_id").agg(min("day").as("cohort"))
+    act.join(first, "user_id")
+      .groupBy(col("cohort"),
+        datediff(col("day"), col("cohort")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy("cohort", "day_offset")
+  }
+
   /** X11+: edit-distance similarity — levenshtein is a built-in in both
     * engines. The blocking-key pattern in miniature: equi-join on brand,
     * a length-band predicate (|len(a)−len(b)| ≤ k is a levenshtein lower
@@ -1256,5 +1285,5 @@ object Relational {
     qJoinSalted, qSaltedAgg, qSessionize, qPivot, qNtile, qFillForward,
     qEventSlide, qMomentsStats, qJoinInterval, qWindowRange, qMergeUpsert,
     qEventHll, qHllRollup, qEventCountMin, qEventHist, qEventHistPct,
-    qJoinAsofTol, qScd2, qFunnel)
+    qJoinAsofTol, qScd2, qFunnel, qCohortRetention)
 }
