@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver keeps only the last ~2000 chars of stdout and JSON-parses
+// the first '{"metric"…}' it finds there. Two sbt behaviors broke that for
+// seven rounds: the logger wraps forked output as `[info] {...}` and sbt
+// appends a `[success] Total time: …` epilogue AFTER the JSON. StdoutOutput
+// passes the forked process's stdout through verbatim (no prefix);
+// showSuccess := false drops the epilogue, so Bench's compact summary is the
+// literal final stdout line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is read by sbt's command engine, not by any task, so the
+// unused-key lint flags it; exclude it rather than lose the setting.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

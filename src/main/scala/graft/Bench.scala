@@ -16,6 +16,10 @@ object Bench {
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         "true")
       .config("spark.ui.enabled", "false")
+      // normalizeTs's NTZ->TIMESTAMP cast is only identity under a UTC
+      // session zone (Tables.scala scaladoc); pin it here too so bench
+      // timings measure the same instants Verify checks, host TZ-independent
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warm-up: JVM/codegen/scheduler spin-up otherwise lands on
@@ -140,7 +144,9 @@ object Bench {
     }
     val fitting = (byTime.size to 0 by -1).view.map(compact)
       .find(_.length <= budget).getOrElse(compact(0))
-    println(fitting)
+    // stop BEFORE the final print: nothing (not even a stray shutdown line
+    // on stdout) may land after the summary the driver tail-parses
     spark.stop()
+    println(fitting)
   }
 }

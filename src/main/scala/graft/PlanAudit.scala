@@ -14,6 +14,8 @@ object PlanAudit {
       // let AQE re-coalesce cached-plan output (see Bench.scala)
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         "true")
+      // same-instants guarantee as Verify/Bench (Tables.normalizeTs scaladoc)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.01"

@@ -1149,7 +1149,8 @@ object Relational {
     """SELECT date_trunc('day', ts) AS ws,
       |  LEAST(255, GREATEST(0, CAST(FLOOR(value / 4.0) AS BIGINT))) AS bin,
       |  CAST(COUNT(*) AS BIGINT) AS cnt
-      |FROM events GROUP BY 1, 2 ORDER BY ws, bin""".stripMargin) { (s, d) =>
+      |FROM events WHERE value IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY ws, bin""".stripMargin) { (s, d) =>
     graft.streaming.EventStreams
       .windowedValueHist(Tables.events(s, d), "1 day")
       .orderBy("ws", "bin")
@@ -1167,7 +1168,7 @@ object Relational {
     """WITH h AS (SELECT date_trunc('day', ts) AS ws,
       |    LEAST(255, GREATEST(0, CAST(FLOOR(value / 4.0) AS BIGINT))) AS bin,
       |    CAST(COUNT(*) AS BIGINT) AS cnt
-      |  FROM events GROUP BY 1, 2),
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
       |t AS (SELECT ws, CAST(SUM(cnt) AS BIGINT) AS n FROM h GROUP BY ws),
       |c AS (SELECT h.ws, h.bin, h.cnt, t.n,
       |    SUM(h.cnt) OVER (PARTITION BY h.ws ORDER BY h.bin) AS cum

@@ -140,7 +140,12 @@ object EventStreams {
     val binW = (hi - lo) / bins
     val bin = least(lit((bins - 1).toLong), greatest(lit(0L),
       floor((value - lo) / binW)))
-    events
+    // NULL values are dropped, not binned: Spark's greatest/least SKIP
+    // nulls (a NULL value would silently land in bin 0) while DuckDB's
+    // GREATEST propagates NULL across versions — filtering in BOTH the
+    // operator and the declared SQL keeps the twin null-robust instead of
+    // depending on the testdata staying non-null.
+    events.filter(value.isNotNull)
       .groupBy(window(col("ts"), width), bin.as("bin"))
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("ws"), col("bin"), col("cnt"))
