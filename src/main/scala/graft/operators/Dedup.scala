@@ -59,7 +59,8 @@ object Dedup {
     * concurrently with other work on the SparkContext: the loop frees
     * exactly the checkpoint blocks it created (handles extracted from
     * each round's plan), never other callers' persisted data. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20,
+      smallEdgeBound: Long = 4L * 1000 * 1000): DataFrame = {
     // canonicalize ONCE — (hi, lo) with hi > lo, self-loops split off so
     // their nodes still label themselves. The eager checkpoint
     // materializes the upstream candidate-pair pipeline exactly once;
@@ -81,58 +82,127 @@ object Dedup {
         .select(col("p.u").as("u"), col("p.v").as("v"))
 
     // closed-neighborhood minimum per node — the label view of an edge
-    // set, and the loop's convergence potential: per-node minima are
-    // non-increasing across star rounds (SoCC'14 §3), so Σ stalls iff
-    // the iteration reached its fixpoint.
+    // set (used once, for the final label readout).
     def minN(e: DataFrame): DataFrame =
       symAll(e).groupBy("u").agg(least(col("u"), min("v")).as("m"))
-    def potential(e: DataFrame): Long =
-      minN(e).agg(coalesce(sum("m"), lit(0L))).head().getLong(0)
 
-    var e = e0.filter(col("u") =!= col("v")).localCheckpoint(true)
-    var eBlocks = checkpointRdds(e)
-    var prevPot = Long.MinValue
-    var prevCnt = -1L
-    var iter = 0
-    var converged = false
-    while (!converged && iter < maxIter) {
-      val pot = potential(e)
-      val cnt = e.count() // narrow scan of the checkpointed blocks
-      if (pot == prevPot && cnt == prevCnt) converged = true
-      else {
-        // large-star: (v, m) for every neighbor v > u. The groupBy and
-        // the join shuffle the same symAll(e) subtree on u — one
-        // exchange, reused. Result stays canonical: v > u ≥ m. No
-        // distinct here: duplicate emissions fold in minS's partial
-        // aggregation and the final distinct — an intermediate dedup
-        // would cost a full extra exchange per round for nothing.
-        val ls = symAll(e)
-          .join(minN(e), "u")
-          .filter(col("v") > col("u"))
-          .select(col("v").as("u"), col("m").as("v"))
-        // small-star over canonical (hi, lo): every lo-side neighbor
-        // (and hi itself) connects to the per-hi minimum. The (u, m)
-        // emission rides the same explode (duplicates fold in the
-        // distinct), so minS is consumed once.
-        val minS = ls.groupBy("u").agg(min("v").as("m"))
-        val ss = ls.join(minS, "u")
-          .select(explode(array(
-            struct(col("v").as("u"), col("m").as("v")),
-            struct(col("u"), col("m").as("v")))).as("p"))
-          .select(col("p.u").as("u"), col("p.v").as("v"))
-          .filter(col("u") =!= col("v"))
-          .distinct()
-          .localCheckpoint(true)
-        freeBlocks(eBlocks)
-        e = ss
-        eBlocks = checkpointRdds(ss)
-        prevPot = pot
-        prevCnt = cnt
-        iter += 1
-      }
+    // Convergence signature: per-node minima are non-increasing across
+    // star rounds and strictly decrease until the fixpoint (SoCC'14 §3),
+    // so the iteration never cycles and the fixpoint is exactly
+    // edge-set STABILITY (the canonical star set reproduces itself).
+    // Detect it with a NARROW (count, Σhash, XORhash) scan of the
+    // round's already-checkpointed output — the previous potential probe
+    // re-ran a full symAll+groupBy exchange of the edge set per round,
+    // doubling the loop's shuffle volume for a number the checksum
+    // replaces. A false convergence needs a simultaneous 64-bit sum AND
+    // xor collision between distinct canonical edge sets — immaterial
+    // (and bounded by maxIter regardless).
+    def sig(df: DataFrame): (Long, BigDecimal, Long) = {
+      val r = df.agg(
+        count(lit(1)),
+        // decimal sum: a long sum of 64-bit hashes overflows under ANSI
+        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), BigDecimal(r.getDecimal(1)), r.getLong(2))
     }
+
+    // Hybrid finish (round 8): star rounds CONTRACT the edge set, and a
+    // thresholded near-dup pair graph is usually far smaller than the
+    // corpus to begin with — at bench scale a few HUNDRED edges were
+    // paying 5+ scheduler rounds of 32-partition shuffle jobs, which
+    // profiled as ~60% of every CC-consuming query. Once the current
+    // edge set fits one task comfortably, finish it with an
+    // executor-side union-find over a single partition: ONE narrow job,
+    // still no driver-side graph (mapPartitions, not collect — the (d)
+    // escape hatch, earned here because the remaining work is
+    // sub-partition-sized). Big graphs keep the star loop until they
+    // contract under the bound; the bound (4M edges ≈ 64 MB in one
+    // task) is far under an executor partition budget; tests force the
+    // star loop with smallEdgeBound = 0.
+    // proper edges read NARROW off the e0 checkpoint blocks — no second
+    // checkpoint needed before the first contraction round
+    var e = e0.filter(col("u") =!= col("v"))
+    var eBlocks: Seq[RDD[_]] = Nil
+    var cnt = e.count()
+    var prevSig: Option[(Long, BigDecimal, Long)] = None
+    var iter = 0
+    var converged = cnt == 0L // no proper edges: nothing to contract
+    if (!converged && cnt > smallEdgeBound) prevSig = Some(sig(e))
+    while (!converged && cnt > smallEdgeBound && iter < maxIter) {
+      // large-star: (v, m) for every neighbor v > u. The groupBy and
+      // the join shuffle the same symAll(e) subtree on u — one
+      // exchange, reused. Result stays canonical: v > u ≥ m. No
+      // distinct here: duplicate emissions fold in minS's partial
+      // aggregation and the final distinct — an intermediate dedup
+      // would cost a full extra exchange per round for nothing.
+      val ls = symAll(e)
+        .join(symAll(e).groupBy("u").agg(least(col("u"), min("v")).as("m")),
+          "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+      // small-star over canonical (hi, lo): every lo-side neighbor
+      // (and hi itself) connects to the per-hi minimum. The (u, m)
+      // emission rides the same explode (duplicates fold in the
+      // distinct), so minS is consumed once.
+      val minS = ls.groupBy("u").agg(min("v").as("m"))
+      val ss = ls.join(minS, "u")
+        .select(explode(array(
+          struct(col("v").as("u"), col("m").as("v")),
+          struct(col("u"), col("m").as("v")))).as("p"))
+        .select(col("p.u").as("u"), col("p.v").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(true)
+      freeBlocks(eBlocks)
+      e = ss
+      eBlocks = checkpointRdds(ss)
+      val curSig = sig(ss)
+      converged = prevSig.contains(curSig)
+      prevSig = Some(curSig)
+      cnt = curSig._1
+      iter += 1
+    }
+    val rawLabels =
+      if (converged || cnt > smallEdgeBound) {
+        // star fixpoint (or maxIter bailout): labels are the
+        // closed-neighborhood minima of the final star set
+        minN(e).withColumnRenamed("u", "node")
+      } else {
+        // small-graph finish: all remaining edges to ONE partition, one
+        // union-find pass inside the executor. Union-by-min-root keeps
+        // every tree rooted at its component minimum, so find(k) IS the
+        // canonical label.
+        val spark = e0.sparkSession
+        import spark.implicits._
+        e.select(col("u"), col("v")).as[(Long, Long)]
+          .repartition(1)
+          .mapPartitions { it =>
+            val parent = scala.collection.mutable.LongMap.empty[Long]
+            def find(x: Long): Long = {
+              var r = x
+              while (parent.getOrElse(r, r) != r) r = parent(r)
+              var c = x
+              while (parent.getOrElse(c, c) != c) {
+                val n = parent(c); parent(c) = r; c = n
+              }
+              r
+            }
+            while (it.hasNext) {
+              val (a, b) = it.next()
+              parent.getOrElseUpdate(a, a)
+              parent.getOrElseUpdate(b, b)
+              val ra = find(a); val rb = find(b)
+              if (ra != rb) {
+                if (ra < rb) parent(rb) = ra else parent(ra) = rb
+              }
+            }
+            parent.keys.toArray.iterator.map(k => (k, find(k)))
+          }
+          .toDF("node", "m")
+      }
     val labels = nodes
-      .join(minN(e).withColumnRenamed("u", "node"), Seq("node"), "left")
+      .join(rawLabels, Seq("node"), "left")
       .select(col("node"), coalesce(col("m"), col("node")).as("comp"))
       .localCheckpoint(true)
     freeBlocks(eBlocks)

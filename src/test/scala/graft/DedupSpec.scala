@@ -78,8 +78,14 @@ class DedupSpec extends SparkSpec {
         (40L until 70L).map(i => (i, i + 1))).toDF("a", "b")
       def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
         .map(r => r.getAs[Long]("node") -> r.getAs[Long]("comp")).toMap
-      toMap(Dedup.connectedComponents(edges)) shouldBe
-        toMap(Dedup.connectedComponentsProp(edges))
+      val prop = toMap(Dedup.connectedComponentsProp(edges))
+      // default path (these graphs are under the small-edge bound, so
+      // this exercises the one-task union-find finish) ...
+      toMap(Dedup.connectedComponents(edges)) shouldBe prop
+      // ... and the star-contraction loop proper, forced by disabling
+      // the hybrid finish — both fixpoints must agree with propagation
+      toMap(Dedup.connectedComponents(edges, smallEdgeBound = 0L)) shouldBe
+        prop
     }
   }
 
