@@ -40,6 +40,25 @@ object Graph {
        |  JOIN deg d ON d.src = e.src
        |  CROSS JOIN n nn GROUP BY e.dst, nn.n)""".stripMargin
 
+  /** One rank iteration from the materialized edge/degree frames —
+    * factored out so ShuffleAuditSpec can plan-assert its exchange
+    * budget. With `e` pre-hashed AND pre-sorted on src (see
+    * pagerankRanks), the edge side of both joins is exchange-free and
+    * sort-free; only the node-cardinality frames move: pr re-hashes on
+    * node into the join, and the map-side-combined aggregate exchanges
+    * (dst, long) partials. */
+  private[graft] def rankIteration(e: DataFrame, deg: DataFrame,
+      pr: DataFrame, n: Long): DataFrame =
+    e.join(pr, col("src") === col("node"))
+      .join(deg, "src")
+      .select(col("dst"),
+        round(col("pr") / col("outdeg") * 1000000000000L).cast("long")
+          .as("contrib"))
+      .groupBy("dst").agg(sum("contrib").as("sc"))
+      .select(col("dst").as("node"),
+        (lit(0.15) / n + lit(0.85) * (col("sc") / 1000000000000.0))
+          .as("pr"))
+
   /** The rank loop, shared by the declared query and the plan-growth
     * test. Each iteration ends in an EAGER localCheckpoint (the CC-loop
     * discipline, Dedup.scala) so iteration i's plan starts from a
@@ -47,9 +66,44 @@ object Graph {
     * O(1) in `nIters`, making the iteration count a safe knob instead
     * of a plan-explosion fuse. Dangling mass: the undirected edge
     * construction gives every node outdeg ≥ 1 by construction, so no
-    * sink-redistribution term exists to handle. */
-  private[graft] def pagerankRanks(s: org.apache.spark.sql.SparkSession,
-      d: String, nIters: Int): DataFrame = {
+    * sink-redistribution term exists to handle.
+    *
+    * Edge-table layout: `e` is hash-repartitioned on src (explicit
+    * partition count — user-specified, so AQE never re-coalesces it out
+    * of alignment) and sorted within partitions BEFORE its one
+    * localCheckpoint. Dataset.localCheckpoint preserves the physical
+    * plan's outputPartitioning and outputOrdering into the LogicalRDD
+    * leaf, so all nIters sort-merge joins on src consume the edge table
+    * in place — zero edge shuffles, zero edge sorts after the first.
+    * `deg` aggregates from the aligned `e`, inheriting hash(src) with no
+    * exchange of its own. This is the local-mode twin of the
+    * cluster-scale "bucket the edge table by src once" layout
+    * (ScaleTechniquesSpec pins the bucketed variant).
+    */
+  /** Run `f` with AQE disabled, restoring the previous setting after.
+    * Why: localCheckpoint records the materialized plan's
+    * outputPartitioning/outputOrdering into its LogicalRDD leaf — but
+    * under AQE the physical plan is an AdaptiveSparkPlanExec whose
+    * pre-execution partitioning is unknown, so the leaf gets
+    * UnknownPartitioning and every later join re-shuffles the frame
+    * (measured: the probe plan showed 4 exchanges/iteration instead of
+    * 1). The rank loop's plans are tiny and fixed-shape, so AQE buys
+    * nothing inside this scope; queries execute sequentially in
+    * Bench/Verify/tests, so the scoped session-conf flip cannot race. */
+  private[graft] def withAqeOff[T](s: org.apache.spark.sql.SparkSession)(
+      f: => T): T = {
+    val k = "spark.sql.adaptive.enabled"
+    val prev = s.conf.get(k)
+    s.conf.set(k, "false")
+    try f finally s.conf.set(k, prev)
+  }
+
+  /** Materialize the aligned edge/degree frames once: (e, deg, |nodes|).
+    * Exposed so ShuffleAuditSpec can plan-assert a single iteration's
+    * exchange budget against exactly these layouts. */
+  private[graft] def edgeFrames(s: org.apache.spark.sql.SparkSession,
+      d: String): (DataFrame, DataFrame, Long) = withAqeOff(s) {
+    val np = s.sessionState.conf.numShufflePartitions
     val edges0 = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
@@ -60,22 +114,21 @@ object Graph {
         (col("s") + supplierOffset).as("dst"))
       .union(edges0.select((col("s") + supplierOffset).as("src"),
         col("c").as("dst")))
+      .repartition(np, col("src")).sortWithinPartitions("src")
       .localCheckpoint(true) // nIters reuses: materialize the distinct once
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .sortWithinPartitions("src")
       .localCheckpoint(true)
-    val n = deg.count()
+    (e, deg, deg.count())
+  }
+
+  private[graft] def pagerankRanks(s: org.apache.spark.sql.SparkSession,
+      d: String, nIters: Int): DataFrame = {
+    val (e, deg, n) = edgeFrames(s, d)
     var pr: DataFrame = deg.select(col("src").as("node"),
       (lit(1.0) / n).as("pr"))
-    for (i <- 1 to nIters) {
-      pr = e.join(pr, col("src") === col("node"))
-        .join(deg, "src")
-        .select(col("dst"),
-          round(col("pr") / col("outdeg") * 1000000000000L).cast("long")
-            .as("contrib"))
-        .groupBy("dst").agg(sum("contrib").as("sc"))
-        .select(col("dst").as("node"),
-          (lit(0.15) / n + lit(0.85) * (col("sc") / 1000000000000.0))
-            .as("pr"))
+    withAqeOff(s) { for (i <- 1 to nIters) {
+      pr = rankIteration(e, deg, pr, n)
       // sever lineage EVERY round (the r5 cadence): the round-6
       // every-2nd-round relaxation looked faster solo (2.30 s) but
       // regressed under the full-suite bench (3.16 s → 3.94 s, r5→r6
@@ -85,7 +138,7 @@ object Graph {
       // iteration still flows into the caller's projection
       // unmaterialized.
       if (i < nIters) pr = pr.localCheckpoint(true)
-    }
+    } }
     pr
   }
 

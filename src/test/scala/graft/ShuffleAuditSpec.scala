@@ -248,6 +248,35 @@ class ShuffleAuditSpec extends SparkSpec {
     }
   }
 
+  test("pagerank iteration consumes the edge layout in place: 1 node-width exchange, 0 edge shuffles/sorts") {
+    graft.operators.Graph.withAqeOff(spark) {
+      val (e, deg, n) = graft.operators.Graph.edgeFrames(spark, sf01)
+      // a mid-loop rank frame, checkpointed exactly as the loop does:
+      // groupBy(dst) output hash(dst,np) survives the rename to node and
+      // the checkpoint (AQE off), so the next join is exchange-free.
+      val pr0 = graft.operators.Graph.rankIteration(e, deg,
+        deg.select(col("src").as("node"), (lit(1.0) / n).as("pr")), n)
+        .localCheckpoint(true)
+      val it = graft.operators.Graph.rankIteration(e, deg, pr0, n)
+      it.count()
+      val plan = it.queryExecution.executedPlan.toString
+      withClue(plan) {
+        // the ONLY exchange is the map-side-combined (dst, long) partial
+        // aggregate. e (hash(src)+sorted through localCheckpoint), deg
+        // (aligned+pre-sorted) and pr (hash(node) from last round's agg)
+        // all join with no Exchange; no sort touches the edge frame.
+        "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 1
+        "\\bSort \\[src".r.findAllIn(plan).size shouldBe 0
+      }
+      // byte check: one iteration's shuffle is bounded by nodes, not edges
+      val edgeBytes = e.count() * 16
+      val b = shuffleWriteBytes(graft.operators.Graph.rankIteration(e, deg, pr0, n))
+      withClue(s"shuffle $b vs raw edge bytes $edgeBytes:") {
+        b should be < edgeBytes / 4
+      }
+    }
+  }
+
   test("temperature mixing never shuffles the corpus") {
     // per-source stats ride ONE aggregate exchange (|sources| x
     // partitions partial rows); selection is a narrow broadcast-join
