@@ -76,6 +76,39 @@ class ScaleTechniquesSpec extends SparkSpec {
     }
   }
 
+  test("pagerank iterates on a bucketed edge table with zero edge-side exchanges") {
+    // Graph.scala's cluster-scale claim made measurable: persist the edge
+    // and degree tables bucketed+sorted by src ONCE, and a rank iteration
+    // joins them in place — the only remaining exchange is the (dst,
+    // long) partial aggregate; nothing re-partitions on src, ever.
+    spark.sql("DROP TABLE IF EXISTS b_edges")
+    spark.sql("DROP TABLE IF EXISTS b_deg")
+    try {
+      val (e, deg, n) = graft.operators.Graph.edgeFrames(spark, sfDir)
+      e.write.bucketBy(8, "src").sortBy("src").saveAsTable("b_edges")
+      deg.write.bucketBy(8, "src").sortBy("src").saveAsTable("b_deg")
+      val eb = spark.table("b_edges")
+      val db = spark.table("b_deg")
+      val pr0 = db.select(col("src").as("node"), (lit(1.0) / n).as("pr"))
+      val it = graft.operators.Graph.rankIteration(eb, db, pr0, n)
+      it.count()
+      val plan = it.queryExecution.executedPlan.toString
+      withClue(plan) {
+        "Exchange hashpartitioning\\(src".r.findAllIn(plan).size shouldBe 0
+      }
+      // the bucketed iteration agrees with the layout-checkpoint one
+      val expect = graft.operators.Graph.rankIteration(e, deg,
+        deg.select(col("src").as("node"), (lit(1.0) / n).as("pr")), n)
+      it.select(col("node"), round(col("pr"), 9).as("pr")).orderBy("node")
+        .collect() shouldBe
+        expect.select(col("node"), round(col("pr"), 9).as("pr"))
+          .orderBy("node").collect()
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_edges")
+      spark.sql("DROP TABLE IF EXISTS b_deg")
+    }
+  }
+
   test("declared scans push predicates and prune columns at the parquet scan") {
     // the two halves of "don't read what you don't need" at 100 TB:
     // predicates must reach the parquet reader (row-group/page skipping)
