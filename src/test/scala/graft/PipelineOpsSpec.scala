@@ -35,6 +35,24 @@ class PipelineOpsSpec extends SparkSpec {
     Cleanup(spark)
   }
 
+  test("hi-threshold LSH equals its brute baseline on twins, no quadratic join") {
+    // the τ=0.9 operating point (8 tables × 16 bits × Hamming-1): exact
+    // agreement with the quadratic reference over the twin-augmented
+    // corpus, and the same no-all-pairs plan discipline as the τ=0.4
+    // point — the only nested loop is the broadcast 17-row mask table.
+    val brute = byName("q_dedup_embed_hi").fn(spark, sfDir).collect()
+    val lshDf = byName("q_dedup_embed_lsh_hi").fn(spark, sfDir)
+    val lsh = lshDf.collect()
+    lsh.map(_.toSeq).toSeq shouldBe brute.map(_.toSeq).toSeq
+    lsh.length should be > 0
+    val planStr = lshDf.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    planStr should not include "CartesianProduct"
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(planStr).size
+    withClue(s"plan:\n$planStr") { bnlj should be <= 1 }
+    Cleanup(spark)
+  }
+
   test("HLL registers match a driver-side sketch; merge = elementwise max") {
     // recompute the whole chain (md5 → 60-bit hash → bucket/rho → max)
     // on the driver from the raw shingle strings — independent of every
