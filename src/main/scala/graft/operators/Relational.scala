@@ -1194,6 +1194,45 @@ object Relational {
       .orderBy("ws")
   }
 
+  /** X15+: single-pass windowed multi-sketch — batch twin of
+    * [[graft.streaming.EventStreams.windowedMonitor]] (SAME transform,
+    * static table; stream==batch in StreamingSpec). All three sketch
+    * families (HLL registers / count-min cells / value histogram) from
+    * ONE events scan and ONE (window, family, row, idx) exchange — the
+    * production monitor shape, where running the three standalone
+    * sketches costs three scans. Oracle = the three standalone oracles
+    * composed by UNION ALL, so the fused cells are hash-checked to be
+    * bit-identical to the separately-computed ones. */
+  private val qEventMonitor = Q("q_event_monitor", {
+    import graft.functions.Sketches
+    val cmRows = (0 until 4).map(i =>
+      s"SELECT ws, $i AS r, ${Sketches.cmBucketSql("h", i, 256)} AS idx FROM ph")
+      .mkString(" UNION ALL ")
+    s"""WITH ph AS (SELECT date_trunc('day', ts) AS ws, value,
+       |    ${Sketches.hash60Sql.format("CAST(user_id AS VARCHAR)")} AS h
+       |  FROM events),
+       |hr AS (SELECT ws, ${Sketches.bucketSql("h")} AS idx,
+       |    ${Sketches.rhoSql("rem")} AS rho
+       |  FROM (SELECT ws, h, h & ${Sketches.RemMask} AS rem FROM ph)),
+       |hll AS (SELECT ws, 'hll' AS family, 0 AS r, idx,
+       |    CAST(MAX(rho) AS BIGINT) AS val FROM hr GROUP BY 1, 2, 3, 4),
+       |cmc AS ($cmRows),
+       |cm AS (SELECT ws, 'cm' AS family, r, idx,
+       |    CAST(COUNT(*) AS BIGINT) AS val FROM cmc GROUP BY 1, 2, 3, 4),
+       |hist AS (SELECT ws, 'hist' AS family, 0 AS r,
+       |    LEAST(255, GREATEST(0, CAST(FLOOR(value / 4.0) AS BIGINT))) AS idx,
+       |    CAST(COUNT(*) AS BIGINT) AS val
+       |  FROM ph WHERE value IS NOT NULL GROUP BY 1, 2, 3, 4),
+       |u AS (SELECT * FROM hll UNION ALL SELECT * FROM cm
+       |      UNION ALL SELECT * FROM hist)
+       |SELECT ws, family, r, idx, val FROM u
+       |ORDER BY ws, family, r, idx""".stripMargin
+  }) { (s, d) =>
+    graft.streaming.EventStreams
+      .windowedMonitor(Tables.events(s, d), "1 day")
+      .orderBy("ws", "family", "r", "idx")
+  }
+
   /** X8+: time-RANGE window frame — per-user trailing-1-hour rolling
     * aggregate (`RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT
     * ROW`), the frame family the ROWS-based windows (q_window_runsum/nav)
@@ -1286,5 +1325,6 @@ object Relational {
     qJoinSalted, qSaltedAgg, qSessionize, qPivot, qNtile, qFillForward,
     qEventSlide, qMomentsStats, qJoinInterval, qWindowRange, qMergeUpsert,
     qEventHll, qHllRollup, qEventCountMin, qEventHist, qEventHistPct,
+    qEventMonitor,
     qJoinAsofTol, qScd2, qFunnel, qCohortRetention)
 }

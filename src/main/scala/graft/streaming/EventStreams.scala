@@ -151,6 +151,64 @@ object EventStreams {
       .select(col("window.start").as("ws"), col("bin"), col("cnt"))
   }
 
+  /** Single-pass windowed monitor: ALL THREE sketch families — HLL
+    * distinct registers, count-min frequency cells, value histogram —
+    * from ONE scan of the event stream per micro-batch. The production
+    * shape: a monitor wants distincts AND hot keys AND the latency
+    * distribution per window, and running [[windowedDistinctSketch]],
+    * [[windowedFreqSketch]] and [[windowedValueHist]] separately scans
+    * (and, streaming, shuffles state for) the events three times.
+    *
+    * Mechanics: each event emits 1 HLL cell + d count-min cells + ≤1
+    * histogram cell as one generated array → one `explode` (constant
+    * ≤ 2+d fan-out of narrow structs) → ONE exchange keyed on
+    * (window, family, row, idx) → a single mixed aggregate (MAX for the
+    * HLL register, COUNT for the additive families, selected per
+    * family). The md5 key hash is computed once per event and shared by
+    * the HLL and all d count-min cells. State stays bounded at
+    * |open windows| × (64 + d·w + bins) cells; each family's cells are
+    * bit-identical to the standalone transforms', so downstream
+    * mergers/readouts (q_hll_rollup, q_event_hist_pct) consume them
+    * unchanged. Pure `DataFrame => DataFrame`; batch twin
+    * `q_event_monitor` is the DuckDB-checked oracle (the three
+    * standalone oracles composed by UNION ALL), stream==batch in
+    * StreamingSpec. */
+  def windowedMonitor(events: DataFrame, width: String = "1 day",
+      key: Column = col("user_id"), value: Column = col("value"),
+      d: Int = 4, w: Int = 256, bins: Int = 256,
+      lo: Double = 0.0, hi: Double = 1024.0): DataFrame = {
+    import graft.functions.Sketches
+    val binW = (hi - lo) / bins
+    val bin = least(lit((bins - 1).toLong), greatest(lit(0L),
+      floor((value - lo) / binW)))
+    val hashed = events.select(col("ts"),
+      Sketches.hash60(key.cast("string")).as("h"),
+      // NULL values carry a NULL histogram cell (dropped after the
+      // explode) — binning them would clamp NULL into bin 0 because
+      // greatest/least skip nulls (see windowedValueHist)
+      when(value.isNotNull, bin).as("bin"))
+    val hllCell = struct(lit("hll").as("family"), lit(0).as("r"),
+      Sketches.bucket(col("h")).as("idx"),
+      Sketches.rho(col("h").bitwiseAND(Sketches.RemMask)).as("rho"))
+    val cmCells = (0 until d).map(i =>
+      struct(lit("cm").as("family"), lit(i).as("r"),
+        Sketches.cmBucket(col("h"), i, w).as("idx"),
+        lit(null).cast("integer").as("rho")))
+    val histCell = struct(lit("hist").as("family"), lit(0).as("r"),
+      col("bin").as("idx"), lit(null).cast("integer").as("rho"))
+    hashed
+      .select(col("ts"),
+        explode(array(hllCell +: cmCells :+ histCell: _*)).as("c"))
+      .filter(!(col("c.family") === "hist" && col("c.idx").isNull))
+      .groupBy(window(col("ts"), width), col("c.family").as("family"),
+        col("c.r").as("r"), col("c.idx").as("idx"))
+      .agg(count(lit(1)).as("cnt"), max(col("c.rho")).as("mrho"))
+      .select(col("window.start").as("ws"), col("family"), col("r"),
+        col("idx"),
+        when(col("family") === "hll", col("mrho").cast("long"))
+          .otherwise(col("cnt")).as("val"))
+  }
+
   /** Late-data bound: state for windows older than `delay` behind the max
     * observed event time is finalized and dropped. No-op on batch frames
     * (Spark ignores watermarks there) — same plan, both modes. */

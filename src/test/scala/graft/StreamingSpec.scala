@@ -136,6 +136,26 @@ class StreamingSpec extends SparkSpec {
     batch.agg(sum("cnt")).head().getLong(0) shouldBe staticEvents.count()
   }
 
+  test("windowed monitor (single-pass multi-sketch): streaming == batch, fused == standalone") {
+    val batch = EventStreams.windowedMonitor(staticEvents)
+    val stream = runStream(EventStreams.windowedMonitor(_), nChunks = 5)
+    canon(stream) shouldBe canon(batch)
+    // the fused cells must be bit-identical to the standalone sketches'
+    val hll = EventStreams.windowedDistinctSketch(staticEvents)
+      .select(col("ws"), lit("hll").as("family"), lit(0).as("r"),
+        col("bucket").as("idx"), col("register").as("val"))
+    val cm = EventStreams.windowedFreqSketch(staticEvents)
+      .select(col("ws"), lit("cm").as("family"), col("r"),
+        col("bkt").as("idx"), col("cnt").as("val"))
+    val hist = EventStreams.windowedValueHist(staticEvents)
+      .select(col("ws"), lit("hist").as("family"), lit(0).as("r"),
+        col("bin").as("idx"), col("cnt").as("val"))
+    canon(batch) shouldBe canon(hll.unionAll(cm).unionAll(hist))
+    // bounded state: at most 64 + 4*256 + 256 cells per window
+    batch.groupBy("ws").count().agg(max("count")).head().getLong(0) should
+      be <= (64L + 4 * 256 + 256)
+  }
+
   test("session windows: streaming == batch") {
     val batch = EventStreams.sessions(staticEvents)
       .withColumn("sum_value", round(col("sum_value"), 6))
