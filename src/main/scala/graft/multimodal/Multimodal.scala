@@ -336,13 +336,16 @@ object Multimodal {
     * decoded independently (flatMap — one asset fans out to its sampled
     * frames, still partition-local).
     *
-    * Real pixel path: MJPEG-in-AVI payloads decode for real — each
+    * Real pixel paths: MJPEG-in-AVI payloads decode for real — each
     * sampled frame is a standalone JPEG ([[VideoContainer.mjpegFrames]])
     * through the JDK's ImageIO, the same zero-dependency move as
-    * [[ImageIoCodec]]. Undecodable frames are dropped, not thrown (the
-    * [[decodeAssetSafe]] quarantine discipline). Codecs the JDK cannot
-    * decode (H.264/VP9/...) and the synthetic "video/fake" corpus fall
-    * back to the deterministic stub — the declared boundary. */
+    * [[ImageIoCodec]] — and uncompressed BI_RGB AVI decodes losslessly
+    * through [[VideoContainer.rgbFrames]]/`decodeDib` (bottom-up BGR
+    * DIB rows → the codec-agnostic row-major RGB layout). Undecodable
+    * frames are dropped, not thrown (the [[decodeAssetSafe]] quarantine
+    * discipline). Codecs the JDK cannot decode (H.264/VP9/...) and the
+    * synthetic "video/fake" corpus fall back to the deterministic stub —
+    * the declared boundary. */
   def sampleFrames(assets: Dataset[Asset], stride: Int): Dataset[VideoFrame] = {
     // fail on the driver: stride=0 would throw 'step cannot be 0' inside
     // every executor task (deterministic retry-until-abort), negative
@@ -374,7 +377,22 @@ object Multimodal {
             case scala.util.control.NonFatal(_) => Iterator.empty
           }
         }
-      else stubFrames(a)
+      else {
+        val rgb =
+          if (a.meta.mime.endsWith("/fake")) None
+          else VideoContainer.rgbFrames(a.content)
+        rgb match {
+          case Some((w, h, topDown, dibs)) =>
+            (0 until dibs.length by stride).iterator.flatMap { f =>
+              try Iterator.single(VideoFrame(a.asset_id, f,
+                VideoContainer.decodeDib(dibs(f), w, h, topDown)))
+              catch {
+                case scala.util.control.NonFatal(_) => Iterator.empty
+              }
+            }
+          case None => stubFrames(a)
+        }
+      }
     })
   }
 

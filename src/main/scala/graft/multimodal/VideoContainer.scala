@@ -2,12 +2,16 @@ package graft.multimodal
 
 /** Zero-dependency video CONTAINER metadata parser: ISO BMFF / MP4 box
   * tree (ftyp/moov/mvhd/trak/tkhd/hdlr) and RIFF AVI (`avih` main
-  * header). The JDK ships no video pixel codec, so frame DECODE stays a
-  * declared stub ([[Multimodal.sampleFrames]]) — but the container walk
-  * below is the real thing: duration, timescale, track count and
-  * geometry come from the actual bytes, which is what a corpus-curation
-  * pipeline filters on (drop sub-second clips, non-16:9, single-track
-  * files) long before any pixel is touched.
+  * header), plus the two frame codings decodable without any codec
+  * library — MJPEG-in-AVI ([[mjpegFrames]], each frame a standalone
+  * JPEG for ImageIO) and uncompressed BI_RGB AVI ([[rgbFrames]] /
+  * [[decodeDib]], a pure byte-layout transform). Inter-frame codecs
+  * (H.264/VP9/...) remain the declared stub boundary in
+  * [[Multimodal.sampleFrames]]. The container walk is the real thing
+  * either way: duration, timescale, track count and geometry come from
+  * the actual bytes, which is what a corpus-curation pipeline filters
+  * on (drop sub-second clips, non-16:9, single-track files) long
+  * before any pixel is touched.
   *
   * Defensive by construction: every read is bounds-checked, malformed
   * sizes terminate the walk, and `parse` returns None rather than throw —
@@ -45,6 +49,8 @@ object VideoContainer {
   private def u32le(b: Array[Byte], o: Int): Long =
     ((b(o + 3) & 0xffL) << 24) | ((b(o + 2) & 0xffL) << 16) |
       ((b(o + 1) & 0xffL) << 8) | (b(o) & 0xffL)
+  private def u16le(b: Array[Byte], o: Int): Int =
+    ((b(o + 1) & 0xff) << 8) | (b(o) & 0xff)
   private def fourcc(b: Array[Byte], o: Int): String =
     new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
 
@@ -146,6 +152,89 @@ object VideoContainer {
     }
     walk(12, b.length, 0, inMovi = false)
     frames.toIndexedSeq
+  }
+
+  /** Uncompressed-RGB AVI ("DIB"/BI_RGB) frame payloads — the second
+    * real pixel codec next to [[mjpegFrames]]: when the video stream's
+    * `strf` BITMAPINFOHEADER declares biCompression = 0 (BI_RGB) and
+    * biBitCount = 24, every `##db`/`##dc` chunk in the `movi` LIST is
+    * one complete device-independent bitmap (bottom-up unless biHeight
+    * is negative, BGR byte order, rows padded to 4 bytes). Returns
+    * (width, height, topDown, frames); None for non-AVI, compressed, or
+    * non-24-bit streams — the caller picks its fallback. Same
+    * bounds-checked walk discipline as [[parse]]. */
+  def rgbFrames(b: Array[Byte])
+      : Option[(Int, Int, Boolean, IndexedSeq[Array[Byte]])] = {
+    if (!isAvi(b)) return None
+    var w = 0
+    var h = 0
+    var topDown = false
+    var isRgb24 = false
+    var inVids = false
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def walk(lo: Int, hi: Int, depth: Int, inMovi: Boolean): Unit = {
+      if (depth > 8) return
+      var o = lo
+      while (o + 8 <= hi) {
+        val typ = fourcc(b, o)
+        val size = u32le(b, o + 4)
+        val pLo = o + 8
+        if (size < 0 || pLo + size > hi) return
+        val pHi = pLo + size.toInt
+        if (typ == "LIST" && pLo + 4 <= pHi) {
+          val lt = fourcc(b, pLo)
+          walk(pLo + 4, pHi, depth + 1,
+            inMovi || lt == "movi" || lt == "rec ")
+        } else if (typ == "strh" && size >= 4) {
+          // a new stream header scopes the following strf
+          inVids = fourcc(b, pLo) == "vids"
+        } else if (typ == "strf" && inVids && size >= 20 && !isRgb24) {
+          val biHeight = u32le(b, pLo + 8).toInt // signed: <0 = top-down
+          val bitCount = u16le(b, pLo + 14)
+          val compression = u32le(b, pLo + 16)
+          if (compression == 0 && bitCount == 24) {
+            w = u32le(b, pLo + 4).toInt
+            h = math.abs(biHeight)
+            topDown = biHeight < 0
+            isRgb24 = w > 0 && h > 0
+          }
+        } else if (inMovi && isRgb24 && typ.length == 4 &&
+            typ(0).isDigit && typ(1).isDigit &&
+            (typ.endsWith("db") || typ.endsWith("dc")) &&
+            size >= ((w * 3 + 3) & ~3).toLong * h) {
+          frames += java.util.Arrays.copyOfRange(b, pLo, pHi)
+        }
+        o = pHi + (size.toInt & 1) // RIFF chunks are word-aligned
+      }
+    }
+    walk(12, b.length, 0, inMovi = false)
+    if (isRgb24 && frames.nonEmpty) Some((w, h, topDown, frames.toIndexedSeq))
+    else None
+  }
+
+  /** One DIB payload → row-major RGB-interleaved pixels (the
+    * [[graft.multimodal.Multimodal.ImageIoCodec]] layout, so every
+    * downstream kernel is codec-agnostic): un-flips the bottom-up row
+    * order, swaps BGR→RGB, strips the 4-byte row padding. */
+  def decodeDib(frame: Array[Byte], w: Int, h: Int,
+      topDown: Boolean): Array[Byte] = {
+    val stride = (w * 3 + 3) & ~3
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val srcRow = (if (topDown) y else h - 1 - y) * stride
+      var x = 0
+      while (x < w) {
+        val s = srcRow + x * 3
+        val o = (y * w + x) * 3
+        out(o) = frame(s + 2)
+        out(o + 1) = frame(s + 1)
+        out(o + 2) = frame(s)
+        x += 1
+      }
+      y += 1
+    }
+    out
   }
 
   private def parseAvi(b: Array[Byte]): Option[ContainerMeta] = {

@@ -283,6 +283,73 @@ class MultimodalSpec extends SparkSpec {
       hdrl ++ movi
   }
 
+  /** Uncompressed BI_RGB AVI: strl(strh "vids"/strf BITMAPINFOHEADER
+    * declaring 24-bit BI_RGB) + movi of `00db` DIB payloads built by a
+    * per-pixel function (x, y, frame) → (r, g, b) — stored bottom-up,
+    * BGR, rows padded to 4 bytes, exactly the on-disk layout. */
+  private def rgbAviBytes(nFrames: Int, w: Int, h: Int)(
+      px: (Int, Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    def chunk(typ: String, payload: Array[Byte]): Array[Byte] =
+      cc(typ) ++ le32(payload.length.toLong) ++ payload ++
+        (if (payload.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    val stride = (w * 3 + 3) & ~3
+    def dib(f: Int): Array[Byte] = {
+      val out = new Array[Byte](stride * h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = px(x, y, f)
+        val o = (h - 1 - y) * stride + x * 3 // bottom-up rows
+        out(o) = b.toByte; out(o + 1) = g.toByte; out(o + 2) = r.toByte
+      }
+      out
+    }
+    val strh = chunk("strh", cc("vids") ++ cc("DIB ") ++ new Array[Byte](48))
+    val strf = chunk("strf",
+      le32(40) ++ le32(w.toLong) ++ le32(h.toLong) ++
+        Array[Byte](1, 0) ++ Array[Byte](24, 0) ++ le32(0) ++ // BI_RGB
+        le32(stride.toLong * h) ++ new Array[Byte](16))
+    val strl = cc("LIST") ++ le32(4L + strh.length + strf.length) ++
+      cc("strl") ++ strh ++ strf
+    val avih = chunk("avih",
+      le32(40000) ++ le32(0) ++ le32(0) ++ le32(0) ++
+        le32(nFrames.toLong) ++ le32(0) ++ le32(1) ++ le32(0) ++
+        le32(w.toLong) ++ le32(h.toLong) ++ new Array[Byte](16))
+    val hdrl = cc("LIST") ++ le32(4L + avih.length + strl.length) ++
+      cc("hdrl") ++ avih ++ strl
+    val frames = (0 until nFrames).toArray.flatMap(f => chunk("00db", dib(f)))
+    val movi = cc("LIST") ++ le32(4L + frames.length) ++ cc("movi") ++ frames
+    cc("RIFF") ++ le32(4L + hdrl.length + movi.length) ++ cc("AVI ") ++
+      hdrl ++ movi
+  }
+
+  test("uncompressed RGB AVI frames decode losslessly, exact pixels") {
+    import spark.implicits._
+    import Multimodal._
+    // per-pixel pattern exercises row order (y), column order (x),
+    // channel order (RGB vs BGR) and frame identity (f) at once
+    def pat(x: Int, y: Int, f: Int) = (x * 7 + f, y * 11 + f, x + y + f)
+    val w = 10; val h = 6 // stride 30 → includes 2 pad bytes per row
+    val avi = rgbAviBytes(nFrames = 4, w, h)(pat)
+    val parsed = multimodal.VideoContainer.rgbFrames(avi)
+    parsed should not be empty
+    val (pw, ph, topDown, dibs) = parsed.get
+    (pw, ph, topDown, dibs.length) shouldBe ((w, h, false, 4))
+    val assets = Seq(Asset(960L, "video", avi,
+      AssetMeta(0, 0, 0, 0, 0, "video/avi"))).toDS()
+    val frames = sampleFrames(assets, stride = 3).collect().sortBy(_.frame_idx)
+    frames.map(_.frame_idx).toSeq shouldBe Seq(0, 3)
+    for (fr <- frames; y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = pat(x, y, fr.frame_idx)
+      val o = (y * w + x) * 3
+      val got = (fr.pixels(o) & 0xff, fr.pixels(o + 1) & 0xff,
+        fr.pixels(o + 2) & 0xff)
+      withClue(s"frame ${fr.frame_idx} ($x,$y):") {
+        got shouldBe ((r & 0xff, g & 0xff, b & 0xff))
+      }
+    }
+    // the MJPEG path must not claim these chunks (no JPEG SOI)
+    multimodal.VideoContainer.mjpegFrames(avi) shouldBe empty
+  }
+
   test("MJPEG-in-AVI frames decode to real pixels; stride sampling holds") {
     import spark.implicits._
     import Multimodal._
