@@ -3,9 +3,10 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnOps
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native Catalyst expression for the hot kernel of the similarity layer:
   * ARRAY<DOUBLE> dot product.
@@ -76,9 +77,87 @@ case class DotProduct(left: Expression, right: Expression)
       newRight: Expression): DotProduct = copy(newLeft, newRight)
 }
 
+/** Sorted-set intersection over two ascending ARRAY<LONG> columns — the
+  * hot kernel of edge-iterator triangle counting (operators/Graph.scala):
+  * per oriented edge (u, v), the closing vertices are adj(u) ∩ adj(v).
+  *
+  * The built-in `array_intersect` builds a hash set per invocation
+  * (allocation + hashing on every edge row); the adjacency lists are
+  * already sorted, so a bare two-pointer merge walk is both allocation-
+  * light (one primitive buffer, no boxing) and branch-predictable, and it
+  * stays inside WholeStageCodegen. Inputs MUST be ascending-sorted and
+  * duplicate-free (collect_list + sort_array over distinct edges); output
+  * order is ascending. Null elements are skipped (none occur in the
+  * triangle pipeline — adjacency arrays aggregate a non-null column).
+  */
+case class SortedIntersect(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "graft_sorted_intersect"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n1 = x.numElements()
+    val n2 = y.numElements()
+    val buf = new Array[Long](math.min(n1, n2))
+    var i = 0; var j = 0; var k = 0
+    while (i < n1 && j < n2) {
+      if (x.isNullAt(i)) i += 1
+      else if (y.isNullAt(j)) j += 1
+      else {
+        val av = x.getLong(i); val bv = y.getLong(j)
+        if (av < bv) i += 1
+        else if (av > bv) j += 1
+        else { buf(k) = av; k += 1; i += 1; j += 1 }
+      }
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(buf, k))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n1 = ctx.freshName("n1"); val n2 = ctx.freshName("n2")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val k = ctx.freshName("k"); val buf = ctx.freshName("buf")
+      val av = ctx.freshName("av"); val bv = ctx.freshName("bv")
+      s"""
+         |int $n1 = $x.numElements();
+         |int $n2 = $y.numElements();
+         |long[] $buf = new long[Math.min($n1, $n2)];
+         |int $i = 0, $j = 0, $k = 0;
+         |while ($i < $n1 && $j < $n2) {
+         |  if ($x.isNullAt($i)) { $i++; }
+         |  else if ($y.isNullAt($j)) { $j++; }
+         |  else {
+         |    long $av = $x.getLong($i);
+         |    long $bv = $y.getLong($j);
+         |    if ($av < $bv) { $i++; }
+         |    else if ($av > $bv) { $j++; }
+         |    else { $buf[$k++] = $av; $i++; $j++; }
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(java.util.Arrays.copyOf($buf, $k));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): SortedIntersect = copy(newLeft, newRight)
+}
+
 object ArrayExprs {
   /** Column-level dot product over two ARRAY<DOUBLE> columns. */
   def dot(a: Column, b: Column): Column =
     ColumnOps.column(DotProduct(ColumnOps.expression(a),
+      ColumnOps.expression(b)))
+
+  /** Ascending-sorted ARRAY<LONG> intersection (two-pointer merge). */
+  def sortedIntersect(a: Column, b: Column): Column =
+    ColumnOps.column(SortedIntersect(ColumnOps.expression(a),
       ColumnOps.expression(b)))
 }

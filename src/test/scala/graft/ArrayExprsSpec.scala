@@ -35,4 +35,28 @@ class ArrayExprsSpec extends SparkSpec {
     got(4L)._1 shouldBe Some(0.0)
     got.values.foreach { case (native, hof) => native shouldBe hof }
   }
+
+  test("graft_sorted_intersect equals array_intersect on sorted distinct arrays") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 200).map { id =>
+      def arr() = Seq.fill(rnd.nextInt(12))(rnd.nextInt(30).toLong)
+        .distinct.sorted
+      (id.toLong, arr(), arr())
+    }
+    val df = rows.toDF("id", "a", "b")
+    val got = df.select(col("id"),
+      ArrayExprs.sortedIntersect(col("a"), col("b")).as("native"),
+      // array_intersect keeps left-side order; left is ascending, so the
+      // built-in's output equals the merge walk's ascending output
+      array_intersect(col("a"), col("b")).as("builtin"))
+      .collect()
+    got.foreach { r =>
+      r.getSeq[Long](1) shouldBe r.getSeq[Long](2)
+    }
+    // empty sides
+    val e = Seq((1L, Seq.empty[Long], Seq(1L, 2L))).toDF("id", "a", "b")
+      .select(ArrayExprs.sortedIntersect(col("a"), col("b"))).collect()
+    e.head.getSeq[Long](0) shouldBe Seq.empty
+  }
 }

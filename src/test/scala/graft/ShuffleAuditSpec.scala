@@ -277,6 +277,39 @@ class ShuffleAuditSpec extends SparkSpec {
     }
   }
 
+  test("triangle counts match the brute-force 3-way join") {
+    // the oriented edge-iterator must agree with the definitional
+    // enumeration a < b < c on the same co-occurrence graph
+    val e = graft.operators.Graph.coOccurEdges(spark, sfDir)
+      .localCheckpoint(true)
+    val t = e.as("e1")
+      .join(e.as("e2"), col("e2.p1") === col("e1.p2"))
+      .join(e.as("e3"), col("e3.p1") === col("e1.p1") &&
+        col("e3.p2") === col("e2.p2"))
+      .select(explode(array(col("e1.p1"), col("e1.p2"), col("e2.p2")))
+        .as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri"))
+    val brute = t.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = graft.operators.Graph.triangleCounts(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.filter(_._2 > 0) shouldBe brute
+  }
+
+  test("triangle counting shuffles edge-width frames, never wedges") {
+    // degree-ordered edge iteration: every exchange carries edges, part
+    // sets, or node aggregates. The wedge frame (sum outdeg^2 rows - 35M
+    // at sf0.1, ~30x the edge count here) must never hit a shuffle; its
+    // absence shows as total shuffle volume within a small multiple of
+    // the edge bytes.
+    val edges = graft.operators.Graph.coOccurEdges(spark, sf01).count()
+    val b = shuffleWriteBytes(
+      graft.operators.Graph.triangleCounts(spark, sf01))
+    val edgeBytes = edges * 16
+    withClue(s"shuffle bytes = $b vs edges = $edges:") {
+      b should be < edgeBytes * 12
+    }
+  }
+
   test("temperature mixing never shuffles the corpus") {
     // per-source stats ride ONE aggregate exchange (|sources| x
     // partitions partial rows); selection is a narrow broadcast-join
