@@ -198,12 +198,21 @@ object Graph {
     * edge-width — never wedge-width). The final per-corner attribution
     * is one generate + hash aggregate on node. */
   private[graft] def triangleCounts(s: org.apache.spark.sql.SparkSession,
-      d: String): DataFrame = {
+      d: String): DataFrame = triangleFrames(s, d)._1
+
+  /** (per-node triangle counts, per-node degrees) over [[coOccurEdges]].
+    * Split out so the clustering-coefficient query joins the two without
+    * a second edge build (the shared `e` is checkpointed once). */
+  private[graft] def triangleFrames(s: org.apache.spark.sql.SparkSession,
+      d: String): (DataFrame, DataFrame) = {
     // materialized once: 2 downstream scans (degree, orientation) would
     // otherwise each re-run the basket aggregate + pair-gen + distinct
     val e = coOccurEdges(s, d).localCheckpoint(true)
+    // node-width, consumed 3x (two key-attach joins + the returned
+    // degree frame) — materialize once
     val deg = e.select(explode(array(col("p1"), col("p2"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
     // total order on nodes: (degree, id) packed into one long; partkeys
     // are < 2^32 and degrees < 2^31, so deg*2^32 + id never collides.
     val key = (col("deg") * lit(4294967296L) + col("n")).as("k")
@@ -238,29 +247,48 @@ object Graph {
       .where(col("sz") > 0)
     // per-node attribution in ONE generate pass: corners u and v each
     // join sz triangles through this edge, every w exactly one.
-    tri.select(col("sz"),
+    val tc = tri.select(col("sz"),
         posexplode(concat(array(col("u"), col("v")), col("ws"))))
       .select(col("col").as("node"),
         when(col("pos") < 2, col("sz")).otherwise(lit(1L)).as("c"))
       .groupBy("node").agg(sum("c").as("tri"))
+    (tc, deg.select(col("n").as("node"), col("deg")))
   }
 
-  /** X17 (graph analytics extension): per-node triangle counts — the
-    * local-clustering numerator, the standard spam/cohesion signal over
-    * a co-occurrence graph. The DuckDB oracle enumerates each triangle
-    * once as a < b < c via a 3-way self-join and unnests the corners;
-    * counts are exact integers so the hash compare is engine-safe. */
+  /** X17 (graph analytics extension): per-node triangle counts plus the
+    * local clustering coefficient tri / C(deg, 2) — the standard
+    * spam/cohesion signal over a co-occurrence graph. The DuckDB oracle
+    * enumerates each triangle once as a < b < c via a 3-way self-join
+    * and unnests the corners; triangle and degree counts are exact
+    * integers and the coefficient one rounded division, so the hash
+    * compare is engine-safe. Nodes outside any triangle still appear
+    * (coefficient 0) via the degree frame's left join. */
   private val qTriangles = Q("q_triangles",
     """WITH e AS (SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
       |  FROM lineitem a JOIN lineitem b
       |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM
+      |  (SELECT p1 AS node FROM e UNION ALL SELECT p2 FROM e)
+      |  GROUP BY node),
       |t AS (SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
       |  FROM e e1 JOIN e e2 ON e2.p1 = e1.p2
       |  JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2),
-      |corners AS (SELECT unnest([a, b, c]) AS node FROM t)
-      |SELECT node, CAST(COUNT(*) AS BIGINT) AS tri
-      |FROM corners GROUP BY node ORDER BY node""".stripMargin) { (s, d) =>
-    triangleCounts(s, d).orderBy("node")
+      |tc AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS tri FROM
+      |  (SELECT unnest([a, b, c]) AS node FROM t) GROUP BY node)
+      |SELECT deg.node, COALESCE(tc.tri, 0) AS tri, deg.deg,
+      |  ROUND(CASE WHEN deg.deg < 2 THEN 0.0 ELSE
+      |    CAST(COALESCE(tc.tri, 0) AS DOUBLE) * 2 /
+      |    (deg.deg * (deg.deg - 1)) END, 6) AS coeff
+      |FROM deg LEFT JOIN tc ON tc.node = deg.node
+      |ORDER BY deg.node""".stripMargin) { (s, d) =>
+    val (tc, deg) = triangleFrames(s, d)
+    deg.join(tc, Seq("node"), "left")
+      .select(col("node"), coalesce(col("tri"), lit(0L)).as("tri"),
+        col("deg"),
+        round(when(col("deg") < 2, lit(0.0)).otherwise(
+          coalesce(col("tri"), lit(0L)).cast("double") * 2 /
+            (col("deg") * (col("deg") - 1))), 6).as("coeff"))
+      .orderBy("node")
   }
 
   val all: Seq[Q] = Seq(qPagerank, qTriangles)

@@ -1266,6 +1266,39 @@ object Relational {
       .orderBy("user_id", "event_id")
   }
 
+  /** X8+: rolling ORDER-STATISTIC window — per-user nearest-rank median
+    * of the trailing 10 events (ROWS frame), the latency/size-monitor
+    * percentile that running sums cannot express. Spark has no
+    * percentile window function; the portable form is collect_list over
+    * the bounded frame → sort_array → element_at at ⌊(n+1)/2⌋ — all
+    * codegen'd array expressions, O(frame log frame) per row with the
+    * frame capped at 10. The oracle mirrors the construction exactly
+    * (list() window + list_sort + element) rather than quantile_disc,
+    * so both engines pick the SAME order statistic; the median is a
+    * passthrough input value (no arithmetic), hence hash-exact.
+    * Ordering ties broken by event_id (unique). Plan at 100 TB: ONE
+    * exchange on user_id + in-partition sort, state bounded by the
+    * 10-row frame — same shape as q_window_range. */
+  private val qWindowMedian = Q("q_window_median",
+    """SELECT user_id, event_id,
+      |  l[(len(l) + 1) // 2] AS med10
+      |FROM (SELECT user_id, event_id,
+      |  list_sort(list(value) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id
+      |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)) AS l
+      |FROM events)
+      |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-9, 0)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        sort_array(collect_list(col("value")).over(w)).as("l"))
+      .select(col("user_id"), col("event_id"),
+        element_at(col("l"),
+          ((size(col("l")) + 1) / 2).cast("int")).as("med10"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** CDC latest-wins snapshot merge (MERGE INTO / SCD upsert) — the
     * incremental-refresh primitive a training-corpus pipeline needs when
     * re-crawls arrive as deltas against a published snapshot: changed keys
@@ -1323,7 +1356,8 @@ object Relational {
     qPercentile, qEditDistance, qAggGroupingSets, qApproxPercentile,
     qHistPercentile,
     qJoinSalted, qSaltedAgg, qSessionize, qPivot, qNtile, qFillForward,
-    qEventSlide, qMomentsStats, qJoinInterval, qWindowRange, qMergeUpsert,
+    qEventSlide, qMomentsStats, qJoinInterval, qWindowRange, qWindowMedian,
+    qMergeUpsert,
     qEventHll, qHllRollup, qEventCountMin, qEventHist, qEventHistPct,
     qEventMonitor,
     qJoinAsofTol, qScd2, qFunnel, qCohortRetention)
