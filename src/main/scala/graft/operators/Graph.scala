@@ -18,12 +18,14 @@ import org.apache.spark.sql.functions._
   * as CTEs.
   *
   * Scale shape (100 TB): the edge list and degree table materialize
-  * once (eager localCheckpoint — 5 reuses each); each iteration is one
-  * co-keyed join (edges ⋈ ranks ⋈ degrees on src) and ONE map-side-
-  * combined aggregate exchange on dst carrying (dst, long) pairs — rank
-  * state is 16 bytes/node, never adjacency or payload. On a cluster the
-  * edge table is bucketed by src once so the per-iteration join is
-  * exchange-free; the loop adds no driver-side state beyond N.
+  * once (eager localCheckpoint — 5 reuses each); each iteration
+  * broadcast-joins the NODE-width rank and degree frames into the
+  * streaming edge scan and exchanges ONE map-side-combined aggregate
+  * on dst carrying (dst, long) pairs — rank state is 16 bytes/node,
+  * never adjacency or payload. Where |V| outgrows broadcast, the
+  * fallback is the same iteration over an edge table bucketed by src
+  * (exchange-free on src, pinned in ScaleTechniquesSpec); the loop
+  * adds no driver-side state beyond N.
   */
 object Graph {
 
@@ -42,15 +44,23 @@ object Graph {
 
   /** One rank iteration from the materialized edge/degree frames —
     * factored out so ShuffleAuditSpec can plan-assert its exchange
-    * budget. With `e` pre-hashed AND pre-sorted on src (see
-    * pagerankRanks), the edge side of both joins is exchange-free and
-    * sort-free; only the node-cardinality frames move: pr re-hashes on
-    * node into the join, and the map-side-combined aggregate exchanges
-    * (dst, long) partials. */
+    * budget. Rank state and degrees are NODE-width (|V| ≪ |E|), so both
+    * ride broadcast hash joins and the edge table streams through
+    * un-shuffled and un-sorted in whatever layout it sits — the only
+    * exchange is the map-side-combined (dst, long) partial aggregate.
+    * This replaces the round-8 sort-merge formulation that pinned e's
+    * hash(src)+sorted layout through localCheckpoint under scoped
+    * AQE-off: correct in plan terms (1 exchange) but fragile in
+    * practice — per-iteration SMJs re-sorted the PR side and timed
+    * 7-21 s under full-suite load vs ~2 s for the broadcast form. At a
+    * scale where rank state outgrows broadcast (|V| ≥ ~10⁸), the SMJ
+    * form over a bucketed edge table is the fallback — the
+    * ScaleTechniquesSpec bucketed-table pin covers exactly that layout,
+    * and this function still consumes it exchange-free on src. */
   private[graft] def rankIteration(e: DataFrame, deg: DataFrame,
       pr: DataFrame, n: Long): DataFrame =
-    e.join(pr, col("src") === col("node"))
-      .join(deg, "src")
+    e.join(broadcast(pr), col("src") === col("node"))
+      .join(broadcast(deg), "src")
       .select(col("dst"),
         round(col("pr") / col("outdeg") * 1000000000000L).cast("long")
           .as("contrib"))
@@ -67,18 +77,6 @@ object Graph {
     * of a plan-explosion fuse. Dangling mass: the undirected edge
     * construction gives every node outdeg ≥ 1 by construction, so no
     * sink-redistribution term exists to handle.
-    *
-    * Edge-table layout: `e` is hash-repartitioned on src (explicit
-    * partition count — user-specified, so AQE never re-coalesces it out
-    * of alignment) and sorted within partitions BEFORE its one
-    * localCheckpoint. Dataset.localCheckpoint preserves the physical
-    * plan's outputPartitioning and outputOrdering into the LogicalRDD
-    * leaf, so all nIters sort-merge joins on src consume the edge table
-    * in place — zero edge shuffles, zero edge sorts after the first.
-    * `deg` aggregates from the aligned `e`, inheriting hash(src) with no
-    * exchange of its own. This is the local-mode twin of the
-    * cluster-scale "bucket the edge table by src once" layout
-    * (ScaleTechniquesSpec pins the bucketed variant).
     */
   /** Run `f` with AQE disabled, restoring the previous setting after.
     * Why: localCheckpoint records the materialized plan's
@@ -87,8 +85,10 @@ object Graph {
     * pre-execution partitioning is unknown, so the leaf gets
     * UnknownPartitioning and every later join re-shuffles the frame
     * (measured: the probe plan showed 4 exchanges/iteration instead of
-    * 1). The rank loop's plans are tiny and fixed-shape, so AQE buys
-    * nothing inside this scope; queries execute sequentially in
+    * 1). The broadcast rank loop no longer depends on checkpoint
+    * layouts, so production code does not need this; kept for the
+    * layout-sensitivity tests (ShuffleAuditSpec), where a deterministic
+    * non-adaptive plan is the point. Queries execute sequentially in
     * Bench/Verify/tests, so the scoped session-conf flip cannot race. */
   private[graft] def withAqeOff[T](s: org.apache.spark.sql.SparkSession)(
       f: => T): T = {
@@ -98,12 +98,13 @@ object Graph {
     try f finally s.conf.set(k, prev)
   }
 
-  /** Materialize the aligned edge/degree frames once: (e, deg, |nodes|).
+  /** Materialize the edge/degree frames once: (e, deg, |nodes|).
     * Exposed so ShuffleAuditSpec can plan-assert a single iteration's
-    * exchange budget against exactly these layouts. */
+    * exchange budget against exactly these frames. No layout pinning:
+    * the broadcast iteration streams `e` as-is, so the checkpoint only
+    * buys the one-time materialization of the distinct. */
   private[graft] def edgeFrames(s: org.apache.spark.sql.SparkSession,
-      d: String): (DataFrame, DataFrame, Long) = withAqeOff(s) {
-    val np = s.sessionState.conf.numShufflePartitions
+      d: String): (DataFrame, DataFrame, Long) = {
     val edges0 = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
@@ -114,10 +115,8 @@ object Graph {
         (col("s") + supplierOffset).as("dst"))
       .union(edges0.select((col("s") + supplierOffset).as("src"),
         col("c").as("dst")))
-      .repartition(np, col("src")).sortWithinPartitions("src")
       .localCheckpoint(true) // nIters reuses: materialize the distinct once
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      .sortWithinPartitions("src")
       .localCheckpoint(true)
     (e, deg, deg.count())
   }
@@ -127,7 +126,7 @@ object Graph {
     val (e, deg, n) = edgeFrames(s, d)
     var pr: DataFrame = deg.select(col("src").as("node"),
       (lit(1.0) / n).as("pr"))
-    withAqeOff(s) { for (i <- 1 to nIters) {
+    for (i <- 1 to nIters) {
       pr = rankIteration(e, deg, pr, n)
       // sever lineage EVERY round (the r5 cadence): the round-6
       // every-2nd-round relaxation looked faster solo (2.30 s) but
@@ -138,7 +137,7 @@ object Graph {
       // iteration still flows into the caller's projection
       // unmaterialized.
       if (i < nIters) pr = pr.localCheckpoint(true)
-    } }
+    }
     pr
   }
 
