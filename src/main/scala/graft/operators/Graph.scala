@@ -290,5 +290,68 @@ object Graph {
       .orderBy("node")
   }
 
-  val all: Seq[Q] = Seq(qPagerank, qTriangles)
+  /** `rounds` rounds of k-core peeling over a symmetric directed edge
+    * list (s, t): each round drops nodes with degree < k and the edges
+    * touching them. Factored over an arbitrary edge frame so tests feed
+    * synthetic graphs. Returns the surviving edges.
+    *
+    * Scale shape (100 TB): the keep-set is NODE-width, so each round is
+    * one map-side-combined degree aggregate + two broadcast semi-joins
+    * the edge table streams through un-shuffled (the PageRank-loop
+    * discipline — beyond broadcast the fallback is the same co-keyed
+    * bucketed-edge-table layout); per-round localCheckpoint keeps plan
+    * depth O(1) in `rounds`. */
+  private[graft] def peelKCore(edges: DataFrame, k: Int,
+      rounds: Int): DataFrame = {
+    var cur = edges.localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val keep = cur.groupBy("s").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("s")
+        .localCheckpoint(true)
+      cur = cur
+        .join(broadcast(keep), "s")
+        .join(broadcast(keep.select(col("s").as("t"))), "t")
+        .select(col("s"), col("t"))
+        .localCheckpoint(true)
+    }
+    cur
+  }
+
+  private val kcoreK = 80
+  private val kcoreRounds = 4
+
+  /** X17: bounded-round k-core peeling (k = 80, 4 rounds — a real
+    * cascade on this corpus: sf0.01 survivors 1903 → 1878 → 1865 →
+    * 1858 of 2000) over the part co-occurrence graph — the density
+    * filter that, run to fixpoint, yields the k-core; bounded rounds
+    * keep it deterministic and oracle-checkable, the q_pagerank
+    * discipline. Output: surviving nodes with their in-core degree,
+    * exact integers. The DuckDB oracle unrolls the same rounds as
+    * CTEs. */
+  private val qKcore = Q("q_kcore", {
+    val peels = (1 to kcoreRounds).map(r =>
+      s"""k$r AS (SELECT s FROM ed${r - 1} GROUP BY s
+         |  HAVING COUNT(*) >= $kcoreK),
+         |ed$r AS (SELECT c.s, c.t FROM ed${r - 1} c
+         |  JOIN k$r a ON c.s = a.s JOIN k$r b ON c.t = b.s)""".stripMargin)
+      .mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+       |  FROM lineitem a JOIN lineitem b
+       |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |ed0 AS (SELECT p1 AS s, p2 AS t FROM e
+       |        UNION ALL SELECT p2, p1 FROM e),
+       |$peels
+       |SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS deg
+       |FROM ed$kcoreRounds GROUP BY s ORDER BY node""".stripMargin
+  }) { (s, d) =>
+    val e = coOccurEdges(s, d)
+    val sym = e.select(col("p1").as("s"), col("p2").as("t"))
+      .union(e.select(col("p2").as("s"), col("p1").as("t")))
+    peelKCore(sym, kcoreK, kcoreRounds)
+      .groupBy("s").agg(count(lit(1)).as("deg"))
+      .select(col("s").as("node"), col("deg"))
+      .orderBy("node")
+  }
+
+  val all: Seq[Q] = Seq(qPagerank, qTriangles, qKcore)
 }
