@@ -314,11 +314,9 @@ class ShuffleAuditSpec extends SparkSpec {
     import spark.implicits._
     // K5 clique (nodes 1-5, degree 4) + pendant chain 5-6-7 (degrees <= 2):
     // peeling at k=3 must drop the chain in 2 rounds and keep K5 intact
-    val und = (for (a <- 1 to 5; b <- a + 1 to 5) yield (a.toLong, b.toLong)) ++
-      Seq((5L, 6L), (6L, 7L))
-    val sym = (und ++ und.map(p => (p._2, p._1))).toDF("s", "t")
-    val core = graft.operators.Graph.peelKCore(sym, k = 3, rounds = 3)
-      .groupBy("s").agg(count(lit(1)).as("deg"))
+    val und = ((for (a <- 1 to 5; b <- a + 1 to 5)
+      yield (a.toLong, b.toLong)) ++ Seq((5L, 6L), (6L, 7L))).toDF("s", "t")
+    val core = graft.operators.Graph.peelKCore(und, k = 3, rounds = 3)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     core shouldBe (1 to 5).map(_.toLong -> 4L).toMap
   }
