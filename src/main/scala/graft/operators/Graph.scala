@@ -169,6 +169,16 @@ object Graph {
     * factor, not a skew hazard. */
   private[graft] def coOccurEdges(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame =
+    coOccurPairs(s, d).distinct()
+
+  /** The narrow pair generator shared by [[coOccurEdges]] and
+    * [[coOccurWeighted]]: one lineitem scan → per-order sorted part
+    * sets → codegen'd posexplode + slice successor pairs. One raw pair
+    * row per (order, p1 < p2) incidence; the caller collapses them with
+    * distinct (unweighted) or a count aggregate (weighted) — the same
+    * single (p1, p2) exchange either way. */
+  private def coOccurPairs(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
     Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
       .groupBy("l_orderkey")
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
@@ -176,7 +186,18 @@ object Graph {
       .select(col("col").as("p1"),
         explode(slice(col("ps"), col("pos") + lit(2), size(col("ps"))))
           .as("p2"))
-      .distinct()
+
+  /** Weighted co-occurrence graph: (p1 < p2, w) with w = number of
+    * distinct orders containing both parts, kept where w ≥ minW. At
+    * minW = 2 this is the REPEAT-co-purchase graph — ~3% of the raw
+    * pair count (3 445 of 115 729 edges at sf0.01) with genuine cluster
+    * structure, the right substrate for community detection; the raw
+    * graph is a near-clique soup where every community collapses. */
+  private[graft] def coOccurWeighted(s: org.apache.spark.sql.SparkSession,
+      d: String, minW: Int): DataFrame =
+    coOccurPairs(s, d)
+      .groupBy("p1", "p2").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minW)
 
   /** Per-node triangle counts over [[coOccurEdges]] by degree-ordered
     * orientation + edge iteration: orient each undirected edge from its
@@ -370,5 +391,136 @@ object Graph {
     peelKCore(e, kcoreK, kcoreRounds).orderBy("node")
   }
 
-  val all: Seq[Q] = Seq(qPagerank, qTriangles, qKcore)
+  /** `rounds` synchronous rounds of weighted label propagation over an
+    * undirected weighted edge list (s, t, w) — both directions present.
+    * Every node starts in its own community (label = own id); each round
+    * every node simultaneously adopts the label with the highest total
+    * edge weight among its neighbors, ties broken toward the SMALLEST
+    * label. Votes are exact BIGINT weight sums and the tie-break a total
+    * order, so the evolution is deterministic and engine-portable — the
+    * bounded-rounds discipline of [[peelKCore]] / q_pagerank.
+    *
+    * The argmax is two hash aggregates (votes on (node, label), then
+    * max of a packed (v, -label) struct per node) — no per-round window
+    * sort. Scale shape (100 TB): label state is NODE-width and rides a
+    * broadcast join into the streaming edge scan; the two aggregates
+    * are map-side combined and bounded by Σ|neighbor labels| ≤ |E|.
+    * Per-round localCheckpoint keeps plan depth O(1). Beyond broadcast
+    * (|V| ≥ ~10⁸) the state join falls back to the co-keyed
+    * bucketed-edge layout pinned in ScaleTechniquesSpec. */
+  private[graft] def labelPropagation(edges: DataFrame,
+      rounds: Int): DataFrame = {
+    val e = edges.localCheckpoint(true)
+    var lbl = e.select(col("s").as("n")).distinct()
+      .select(col("n"), col("n").as("lbl")).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val votes = e
+        .join(broadcast(lbl.select(col("n").as("t"), col("lbl"))), "t")
+        .groupBy("s", "lbl").agg(sum("w").as("v"))
+      lbl = votes
+        .groupBy("s")
+        .agg(max(struct(col("v"), (-col("lbl")).as("neg"))).as("m"))
+        .select(col("s").as("n"), (-col("m.neg")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    lbl
+  }
+
+  private val lpaRounds = 4
+  private val lpaMinW = 2
+
+  private def lpaRoundSql(r: Int): String =
+    s"""c$r AS (SELECT e.s AS n, l.lbl, SUM(e.w) AS v
+       |  FROM e JOIN l${r - 1} l ON e.t = l.n GROUP BY e.s, l.lbl),
+       |l$r AS (SELECT n, lbl FROM (SELECT n, lbl, ROW_NUMBER() OVER
+       |  (PARTITION BY n ORDER BY v DESC, lbl) AS rn FROM c$r)
+       |  WHERE rn = 1)""".stripMargin
+
+  /** X17: community detection by synchronous weighted label propagation
+    * (4 rounds) over the repeat-co-purchase graph — a genuine cascade on
+    * this corpus (sf0.01: 1880 nodes → 989 → 655 → 513 → 435 communities,
+    * largest 11 → 51). The DuckDB oracle unrolls the rounds as CTEs with
+    * a ROW_NUMBER argmax under the identical (v DESC, lbl) total order. */
+  private val qLabelProp = Q("q_label_prop",
+    s"""WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+       |  FROM lineitem),
+       |pr AS (SELECT a.p AS p1, b.p AS p2, CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $lpaMinW),
+       |e AS (SELECT p1 AS s, p2 AS t, w FROM pr
+       |      UNION ALL SELECT p2, p1, w FROM pr),
+       |l0 AS (SELECT DISTINCT s AS n, s AS lbl FROM e),
+       |${(1 to lpaRounds).map(lpaRoundSql).mkString(",\n")}
+       |SELECT n AS node, lbl AS community FROM l$lpaRounds
+       |ORDER BY node""".stripMargin) { (s, d) =>
+    val pr = coOccurWeighted(s, d, lpaMinW)
+    val e = pr.select(col("p1").as("s"), col("p2").as("t"), col("w"))
+      .union(pr.select(col("p2"), col("p1"), col("w")))
+    labelPropagation(e, lpaRounds)
+      .select(col("n").as("node"), col("lbl").as("community"))
+      .orderBy("node")
+  }
+
+  /** `rounds` rounds of multi-source BFS over an undirected edge list
+    * (s, t) — both directions present — from a seed frame of (n) rows:
+    * frontier-relaxation dist(n) = min(dist(n), min over nbrs dist+1),
+    * the bounded-hop reachability / shortest-distance primitive.
+    *
+    * Scale shape (100 TB): the distance frame is NODE-width (only
+    * reached nodes carry rows) and broadcast-joins into the streaming
+    * edge scan; each round is one map-side-combined min aggregate.
+    * Identical loop shape to [[peelKCore]]; per-round localCheckpoint,
+    * bucketed-edge fallback beyond broadcast. */
+  private[graft] def bfsHops(edges: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    val e = edges.localCheckpoint(true)
+    var dist = seeds.select(col("n"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      dist = dist.union(
+          e.join(broadcast(dist.select(col("n").as("t"), col("dist"))), "t")
+            .select(col("s").as("n"), (col("dist") + lit(1L)).as("dist")))
+        .groupBy("n").agg(min("dist").as("dist"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+
+  private val bfsRounds = 4
+
+  private def bfsRoundSql(r: Int): String =
+    s"""d$r AS (SELECT n, MIN(dist) AS dist FROM (
+       |  SELECT n, dist FROM d${r - 1}
+       |  UNION ALL SELECT e.s, d.dist + 1 FROM e
+       |    JOIN d${r - 1} d ON e.t = d.n) u GROUP BY n)""".stripMargin
+
+  /** X17: bounded-hop multi-source BFS (4 rounds) over the
+    * repeat-co-purchase graph from the partkey ≡ 0 (mod 199) seed set —
+    * a genuine frontier expansion (sf0.01: 11 seeds → 51 → 189 → 616 →
+    * 1336 reached). Distances are exact BIGINTs; the oracle unrolls the
+    * relaxation rounds as CTEs. */
+  private val qBfsHops = Q("q_bfs_hops",
+    s"""WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+       |  FROM lineitem),
+       |pr AS (SELECT a.p AS p1, b.p AS p2
+       |  FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $lpaMinW),
+       |e AS (SELECT p1 AS s, p2 AS t FROM pr
+       |      UNION ALL SELECT p2, p1 FROM pr),
+       |d0 AS (SELECT DISTINCT s AS n, CAST(0 AS BIGINT) AS dist
+       |  FROM e WHERE s % 199 = 0),
+       |${(1 to bfsRounds).map(bfsRoundSql).mkString(",\n")}
+       |SELECT n AS node, dist FROM d$bfsRounds ORDER BY node""".stripMargin)
+    { (s, d) =>
+    val pr = coOccurWeighted(s, d, lpaMinW)
+    val e = pr.select(col("p1").as("s"), col("p2").as("t"))
+      .union(pr.select(col("p2"), col("p1")))
+    val seeds = e.select(col("s").as("n"))
+      .where(col("n") % 199 === 0).distinct()
+    bfsHops(e, seeds, bfsRounds)
+      .select(col("n").as("node"), col("dist")).orderBy("node")
+  }
+
+  val all: Seq[Q] =
+    Seq(qPagerank, qTriangles, qKcore, qLabelProp, qBfsHops)
 }

@@ -321,6 +321,35 @@ class ShuffleAuditSpec extends SparkSpec {
     core shouldBe (1 to 5).map(_.toLong -> 4L).toMap
   }
 
+  test("label propagation separates two communities across a weak bridge") {
+    import spark.implicits._
+    // two triangles {1,2,3} and {10,11,12} with internal weight 3,
+    // joined by a weight-1 bridge 3-10: internal votes dominate, so
+    // after 2 rounds each triangle settles on its min label and the
+    // bridge never flips either side
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L)).map { case (a, b) => (a, b, 3L) }
+    val und = (tri :+ ((3L, 10L, 1L))).toDF("s", "t", "w")
+    val e = und.union(und.select($"t", $"s", $"w"))
+    val got = graft.operators.Graph.labelPropagation(e, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L)
+  }
+
+  test("multi-source BFS relaxes exact hop distances on a path") {
+    import spark.implicits._
+    // path 1-2-3-4-5 with seed {1}: dist = position - 1; 3 rounds pin
+    // both the reached distances and the unreached tail's absence
+    // (node 5 sits at hop 4, beyond the round budget)
+    val p = (1L to 5L).sliding(2).map(x => (x(0), x(1))).toSeq.toDF("s", "t")
+    val e = p.union(p.select($"t", $"s"))
+    val seeds = Seq(Tuple1(1L)).toDF("n")
+    val got = graft.operators.Graph.bfsHops(e, seeds, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L)
+  }
+
   test("temperature mixing never shuffles the corpus") {
     // per-source stats ride ONE aggregate exchange (|sources| x
     // partitions partial rows); selection is a narrow broadcast-join
