@@ -142,13 +142,13 @@ object Graph {
   }
 
   private val qPagerank = Q("q_pagerank",
-    s"""WITH ed0 AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+    s"""WITH ed0 AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
-       |e AS (SELECT c AS src, s + $supplierOffset AS dst FROM ed0
+       |e AS MATERIALIZED (SELECT c AS src, s + $supplierOffset AS dst FROM ed0
        |      UNION ALL SELECT s + $supplierOffset, c FROM ed0),
-       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+       |deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
        |  FROM e GROUP BY 1),
-       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+       |n AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
        |p0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE)/nn.n AS pr
        |  FROM deg CROSS JOIN n nn),
        |${(1 to iters).map(iterSql).mkString(",\n")}
@@ -284,10 +284,10 @@ object Graph {
     * compare is engine-safe. Nodes outside any triangle still appear
     * (coefficient 0) via the degree frame's left join. */
   private val qTriangles = Q("q_triangles",
-    """WITH e AS (SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+    """WITH e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
       |  FROM lineitem a JOIN lineitem b
       |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-      |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM
+      |deg AS MATERIALIZED (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM
       |  (SELECT p1 AS node FROM e UNION ALL SELECT p2 FROM e)
       |  GROUP BY node),
       |t AS (SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
@@ -372,15 +372,15 @@ object Graph {
     * CTEs. */
   private val qKcore = Q("q_kcore", {
     val peels = (1 to kcoreRounds).map(r =>
-      s"""k$r AS (SELECT s FROM ed${r - 1} GROUP BY s
+      s"""k$r AS MATERIALIZED (SELECT s FROM ed${r - 1} GROUP BY s
          |  HAVING COUNT(*) >= $kcoreK),
-         |ed$r AS (SELECT c.s, c.t FROM ed${r - 1} c
+         |ed$r AS MATERIALIZED (SELECT c.s, c.t FROM ed${r - 1} c
          |  JOIN k$r a ON c.s = a.s JOIN k$r b ON c.t = b.s)""".stripMargin)
       .mkString(",\n")
-    s"""WITH e AS (SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
        |  FROM lineitem a JOIN lineitem b
        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-       |ed0 AS (SELECT p1 AS s, p2 AS t FROM e
+       |ed0 AS MATERIALIZED (SELECT p1 AS s, p2 AS t FROM e
        |        UNION ALL SELECT p2, p1 FROM e),
        |$peels
        |SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS deg
@@ -430,9 +430,9 @@ object Graph {
   private val lpaMinW = 2
 
   private def lpaRoundSql(r: Int): String =
-    s"""c$r AS (SELECT e.s AS n, l.lbl, SUM(e.w) AS v
+    s"""c$r AS MATERIALIZED (SELECT e.s AS n, l.lbl, SUM(e.w) AS v
        |  FROM e JOIN l${r - 1} l ON e.t = l.n GROUP BY e.s, l.lbl),
-       |l$r AS (SELECT n, lbl FROM (SELECT n, lbl, ROW_NUMBER() OVER
+       |l$r AS MATERIALIZED (SELECT n, lbl FROM (SELECT n, lbl, ROW_NUMBER() OVER
        |  (PARTITION BY n ORDER BY v DESC, lbl) AS rn FROM c$r)
        |  WHERE rn = 1)""".stripMargin
 
@@ -442,14 +442,14 @@ object Graph {
     * largest 11 → 51). The DuckDB oracle unrolls the rounds as CTEs with
     * a ROW_NUMBER argmax under the identical (v DESC, lbl) total order. */
   private val qLabelProp = Q("q_label_prop",
-    s"""WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+    s"""WITH po AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
        |  FROM lineitem),
-       |pr AS (SELECT a.p AS p1, b.p AS p2, CAST(COUNT(*) AS BIGINT) AS w
+       |pr AS MATERIALIZED (SELECT a.p AS p1, b.p AS p2, CAST(COUNT(*) AS BIGINT) AS w
        |  FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
        |  GROUP BY 1, 2 HAVING COUNT(*) >= $lpaMinW),
-       |e AS (SELECT p1 AS s, p2 AS t, w FROM pr
+       |e AS MATERIALIZED (SELECT p1 AS s, p2 AS t, w FROM pr
        |      UNION ALL SELECT p2, p1, w FROM pr),
-       |l0 AS (SELECT DISTINCT s AS n, s AS lbl FROM e),
+       |l0 AS MATERIALIZED (SELECT DISTINCT s AS n, s AS lbl FROM e),
        |${(1 to lpaRounds).map(lpaRoundSql).mkString(",\n")}
        |SELECT n AS node, lbl AS community FROM l$lpaRounds
        |ORDER BY node""".stripMargin) { (s, d) =>
@@ -489,7 +489,7 @@ object Graph {
   private val bfsRounds = 4
 
   private def bfsRoundSql(r: Int): String =
-    s"""d$r AS (SELECT n, MIN(dist) AS dist FROM (
+    s"""d$r AS MATERIALIZED (SELECT n, MIN(dist) AS dist FROM (
        |  SELECT n, dist FROM d${r - 1}
        |  UNION ALL SELECT e.s, d.dist + 1 FROM e
        |    JOIN d${r - 1} d ON e.t = d.n) u GROUP BY n)""".stripMargin
@@ -500,14 +500,14 @@ object Graph {
     * 1336 reached). Distances are exact BIGINTs; the oracle unrolls the
     * relaxation rounds as CTEs. */
   private val qBfsHops = Q("q_bfs_hops",
-    s"""WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+    s"""WITH po AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
        |  FROM lineitem),
-       |pr AS (SELECT a.p AS p1, b.p AS p2
+       |pr AS MATERIALIZED (SELECT a.p AS p1, b.p AS p2
        |  FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
        |  GROUP BY 1, 2 HAVING COUNT(*) >= $lpaMinW),
-       |e AS (SELECT p1 AS s, p2 AS t FROM pr
+       |e AS MATERIALIZED (SELECT p1 AS s, p2 AS t FROM pr
        |      UNION ALL SELECT p2, p1 FROM pr),
-       |d0 AS (SELECT DISTINCT s AS n, CAST(0 AS BIGINT) AS dist
+       |d0 AS MATERIALIZED (SELECT DISTINCT s AS n, CAST(0 AS BIGINT) AS dist
        |  FROM e WHERE s % 199 = 0),
        |${(1 to bfsRounds).map(bfsRoundSql).mkString(",\n")}
        |SELECT n AS node, dist FROM d$bfsRounds ORDER BY node""".stripMargin)
