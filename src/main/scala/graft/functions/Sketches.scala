@@ -65,4 +65,24 @@ object Sketches {
 
   def cmBucketSql(h: String, i: Int, w: Int): String =
     s"(($h % $CmP) * ${cmA(i)} + ${cmB(i)}) % $CmP % $w"
+
+  /** Bloom filter geometry: m = 2¹⁶ bit positions stored as 2048
+    * 32-bit words inside BIGINTs — bit values stay ≤ 2³¹, so every
+    * engine's shift/OR runs in positive BIGINT range with no sign or
+    * overflow divergence — and k = 4 probes from the same
+    * Carter–Wegman family as the count-min rows (one md5 per key, k
+    * cheap affine mixes). At n = 10⁵ digests the fill is
+    * 1−e^(−kn/m) ≈ 0.998… so m scales with corpus: these constants
+    * are the bench-scale operating point (n ≈ 10³–10⁴ → FP ≈ 0.5–5%);
+    * production picks m ≈ 10·n_old bits and the dataflow is unchanged
+    * (the sketch stays ≤ m/8 bytes, broadcastable at any m that fits
+    * an executor). */
+  val BloomBits: Int = 1 << 16
+  val BloomWords: Int = BloomBits >> 5 // 2048 x 32-bit words
+  val BloomK = 4
+
+  /** Bit position of probe `i` for 60-bit hash column `h`. */
+  def bloomPos(h: Column, i: Int): Column = cmBucket(h, i, BloomBits)
+
+  def bloomPosSql(h: String, i: Int): String = cmBucketSql(h, i, BloomBits)
 }

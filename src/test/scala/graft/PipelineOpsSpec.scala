@@ -454,4 +454,32 @@ class PipelineOpsSpec extends SparkSpec {
     }
     expected.size should be > 0
   }
+
+  test("Bloom prefilter is sound: no false negatives, verdict equals the anti-join truth") {
+    import spark.implicits._
+    // membership soundness on a synthetic digest set: every inserted
+    // digest must pass its own sketch (all k bits were set by insertion)
+    val digs = (1 to 300).map(i => Tuple1(s"synthetic-digest-$i")).toDF("dig")
+    val bw = graft.operators.PipelineQueries.bloomWordsOf(digs)
+    bw.count() shouldBe graft.functions.Sketches.BloomWords
+    // declared incremental verdicts: bloom_pass must cover is_dup
+    // (soundness) and is_dup must equal the exact digest anti-join truth
+    val inc = byName("q_dedup_incremental").fn(spark, sfDir).collect()
+    inc.length should be > 0
+    val misses = inc.filter(r =>
+      r.getAs[Boolean]("is_dup") && !r.getAs[Boolean]("bloom_pass"))
+    misses shouldBe empty
+    val docs = Tables.documents(spark, sfDir)
+    val oldDigs = docs.select(md5(col("text")).as("d")).distinct()
+      .as[String].collect().toSet
+    val truth = docs.select(col("doc_id"), md5(col("text")).as("d"))
+      .where(col("doc_id") % 7 === 3).as[(Long, String)].collect()
+      .map { case (id, dg) => (id + 10000000L) -> oldDigs(dg) }.toMap
+    inc.filter(_.getAs[Long]("new_id") < 20000000L).foreach { r =>
+      r.getAs[Boolean]("is_dup") shouldBe truth(r.getAs[Long]("new_id"))
+    }
+    // revision docs (' rev2' suffix) must all be keeps
+    inc.filter(_.getAs[Long]("new_id") >= 20000000L)
+      .foreach(_.getAs[Boolean]("is_dup") shouldBe false)
+  }
 }
