@@ -217,4 +217,30 @@ object CorpusIngest {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  /** Continuous membership-sketch maintenance — the streaming twin of
+    * `PipelineQueries.bloomWordsOf` / q_bloom_registers. Each arriving
+    * document's content digest sets k = 4 Carter–Wegman bit positions;
+    * a streaming aggregate keyed on the 2048 word indexes maintains the
+    * BIT_OR of each word across micro-batches. Unlike the digest-set
+    * dedup state above (proportional to the dedup horizon), this state
+    * is capped at `Sketches.BloomWords` cells FOREVER — the resident
+    * footprint a 100 TB perpetual ingest actually affords — and each
+    * micro-batch's exchange carries at most 2048 (word, long) partial
+    * rows. BIT_OR is idempotent, so at-least-once re-delivery cannot
+    * corrupt the sketch. Downstream, each trigger's sketch snapshot is
+    * exactly the broadcast prefilter of q_dedup_incremental's confirm
+    * join. Valid on static and streaming frames (complete/update mode
+    * on a stream — only touched words appear; absent word = 0L). */
+  def bloomSketch(docs: Dataset[Doc]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Sketches
+    docs.select(md5(col("text")).as("dig"))
+      .select(Sketches.hash60(col("dig")).as("h"))
+      .select(explode(array((0 until Sketches.BloomK).map(i =>
+        Sketches.bloomPos(col("h"), i)): _*)).as("p"))
+      .select(shiftright(col("p"), 5).as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p & 31 AS INT))").as("m"))
+      .groupBy("word").agg(expr("bit_or(m)").as("bits"))
+  }
 }

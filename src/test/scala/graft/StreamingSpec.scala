@@ -426,6 +426,31 @@ class StreamingSpec extends SparkSpec {
       .map(_.doc_id).sorted.toSeq shouldBe got
   }
 
+  test("streaming Bloom sketch: bounded state, re-delivery-proof, equals the batch sketch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = (0 until 120).map(i => Doc(i, tmin(i), vocabText(100 + i, 40)))
+    val mem = MemoryStream[Doc]
+    val name = s"bloom_out_${System.nanoTime()}"
+    val q = CorpusIngest.bloomSketch(mem.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete).start()
+    try {
+      // batch 2 re-delivers the tail of batch 1: BIT_OR idempotence must
+      // leave the sketch identical to exactly-once delivery
+      mem.addData(docs.take(60)); q.processAllAvailable()
+      mem.addData(docs.slice(40, 120)); q.processAllAvailable()
+      val got = spark.table(name).collect()
+        .map(r => r.getAs[Long]("word") -> r.getAs[Long]("bits")).toMap
+      got.size should be <= graft.functions.Sketches.BloomWords
+      val batch = graft.operators.PipelineQueries.bloomWordsOf(
+          docs.toDF().select(md5($"text").as("dig")).distinct())
+        .collect().map(r => r.getAs[Long]("word") -> r.getAs[Long]("bits"))
+        .filter(_._2 != 0L).toMap
+      got shouldBe batch
+    } finally q.stop()
+  }
+
   test("content dedupExact: digest state expires by TTL and re-admits") {
     val tA = vocabText(11, 80); val tB = vocabText(12, 80)
     val tC = vocabText(13, 80)
