@@ -358,6 +358,18 @@ class ShuffleAuditSpec extends SparkSpec {
     withClue(s"shuffle bytes = $b:") { b should be < 256L * 1024 }
   }
 
+  test("incremental dedup shuffles sketch cells and survivors, never the old corpus") {
+    // the exchanges are: the digest distinct (old side, unavoidable
+    // once per corpus lifetime — here it is the sketch build), the
+    // 2048-cell partial BIT_OR (capped by geometry, not data), the
+    // per-doc probe aggregate (4 rows/doc), and the confirm join of
+    // bloom SURVIVORS only. At sf0.1 that totals well under the old
+    // corpus's text bytes (~7 MB) — a full-corpus text shuffle would
+    // blow this bound immediately.
+    val b = shuffleWriteBytes(pipeByName("q_dedup_incremental").fn(spark, sf01))
+    withClue(s"shuffle bytes = $b:") { b should be < 2L * 1024 * 1024 }
+  }
+
   /** Count distinct scans of the `documents` parquet in `plan`, descending
     * through AQE wrappers, query stages, reused exchanges and — crucially —
     * into cached relations' build plans (each distinct cache counted once:
