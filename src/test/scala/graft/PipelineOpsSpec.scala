@@ -455,6 +455,20 @@ class PipelineOpsSpec extends SparkSpec {
     expected.size should be > 0
   }
 
+  test("heavy hitters: CM-candidate top-k equals the exact top-k at gate scale") {
+    import spark.implicits._
+    val got = byName("q_heavy_hitters").fn(spark, sfDir).collect()
+      .map(r => r.getAs[String]("sh") -> r.getAs[Long]("cnt"))
+    got.length shouldBe 40
+    // exact truth: full count, same (cnt DESC, sh) total order
+    val truth = graft.functions.TextFns
+      .shinglesOf(Tables.documents(spark, sfDir))
+      .groupBy("sh").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("sh")).limit(40)
+      .as[(String, Long)].collect()
+    got.sortBy(_._1).toSeq shouldBe truth.sortBy(_._1).toSeq
+  }
+
   test("Bloom prefilter is sound: no false negatives, verdict equals the anti-join truth") {
     import spark.implicits._
     // membership soundness on a synthetic digest set: every inserted
