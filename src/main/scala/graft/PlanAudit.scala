@@ -31,7 +31,9 @@ object PlanAudit {
         "q_cooccur_pmi", "q_chunk_overlap", "q_corpus_shuffle",
         "q_inverted_index", "q_top_ngrams", "q_corpus_stats", "q_pagerank",
         "q_count_min", "q_hll_registers", "q_pii_redact", "q_window_range",
-        "q_merge_upsert", "q_event_hll", "q_join_interval")
+        "q_merge_upsert", "q_event_hll", "q_join_interval",
+        "q_label_prop", "q_bfs_hops", "q_bloom_registers",
+        "q_dedup_incremental", "q_heavy_hitters")
     for (n <- names) {
       println(s"==== $n ====")
       val df = SparkEntry.queries(n)(spark, d)
