@@ -158,6 +158,76 @@ object Graph {
       .select(col("node"), round(col("pr"), 6).as("pr")).orderBy("node")
   }
 
+  /** Personalized PageRank: the walk restarts at a SEED set (customers
+    * with custkey ≡ 0 mod 100) instead of uniformly — rank measures
+    * proximity to the seeds, the recommendation / similar-entities
+    * primitive. Same engine-exact quantized-contribution discipline and
+    * broadcast node-state loop as [[pagerankRanks]]; the reset vector is
+    * a pure EXPRESSION of the node id (no per-iteration seed join), and
+    * the rank frame keeps every node (zero rank until the frontier
+    * reaches it), so each iteration is the contribution aggregate plus
+    * one node-width left join. */
+  private[graft] def pprRanks(s: org.apache.spark.sql.SparkSession,
+      d: String, nIters: Int): DataFrame = {
+    val (e, deg, _) = edgeFrames(s, d)
+    val isSeed = col("node") < supplierOffset && col("node") % 100 === 0
+    val nSeeds = deg.select(col("src").as("node")).where(isSeed).count()
+    val reset = when(isSeed, lit(1.0) / nSeeds).otherwise(lit(0.0))
+    var pr: DataFrame = deg.select(col("src").as("node"), reset.as("pr"))
+    for (i <- 1 to nIters) {
+      val contrib = e.join(broadcast(pr), col("src") === col("node"))
+        .join(broadcast(deg), "src")
+        .select(col("dst"),
+          round(col("pr") / col("outdeg") * 1000000000000L).cast("long")
+            .as("c"))
+        .groupBy("dst").agg(sum("c").as("sc"))
+      pr = deg.select(col("src").as("node"))
+        .join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(0.15) * reset +
+            lit(0.85) * (coalesce(col("sc"), lit(0L)) / 1000000000000.0))
+            .as("pr"))
+      if (i < nIters) pr = pr.localCheckpoint(true)
+    }
+    pr
+  }
+
+  private def pprIterSql(i: Int): String =
+    s"""c$i AS MATERIALIZED (SELECT e.dst,
+       |    SUM(CAST(ROUND(p.pr/d.outdeg*1000000000000) AS BIGINT)) AS sc
+       |  FROM e JOIN p${i - 1} p ON e.src = p.node
+       |  JOIN deg d ON d.src = e.src GROUP BY e.dst),
+       |p$i AS MATERIALIZED (SELECT n.src AS node,
+       |    0.15*(CASE WHEN n.src < $supplierOffset AND n.src % 100 = 0
+       |          THEN 1.0/ss.n ELSE 0.0 END)
+       |    + 0.85*(COALESCE(c.sc, 0)/1000000000000.0) AS pr
+       |  FROM deg n CROSS JOIN ns ss
+       |  LEFT JOIN c$i c ON c.dst = n.src)""".stripMargin
+
+  /** X17: personalized PageRank from the custkey ≡ 0 (mod 100) seed
+    * set, five engine-exact iterations ([[pprRanks]]); oracle unrolls
+    * them with the identical quantized arithmetic. */
+  private val qPpr = Q("q_ppr",
+    s"""WITH ed0 AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS c,
+       |    l.l_suppkey AS s
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |e AS MATERIALIZED (SELECT c AS src, s + $supplierOffset AS dst
+       |      FROM ed0
+       |      UNION ALL SELECT s + $supplierOffset, c FROM ed0),
+       |deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+       |  FROM e GROUP BY 1),
+       |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg
+       |  WHERE src < $supplierOffset AND src % 100 = 0),
+       |p0 AS MATERIALIZED (SELECT src AS node,
+       |    CASE WHEN src < $supplierOffset AND src % 100 = 0
+       |    THEN 1.0/ss.n ELSE 0.0 END AS pr FROM deg CROSS JOIN ns ss),
+       |${(1 to iters).map(pprIterSql).mkString(",\n")}
+       |SELECT node, ROUND(pr, 6) AS pr FROM p$iters
+       |ORDER BY node""".stripMargin) { (s, d) =>
+    pprRanks(s, d, iters)
+      .select(col("node"), round(col("pr"), 6).as("pr")).orderBy("node")
+  }
+
   /** Build the undirected part co-occurrence graph: an edge (p1, p2),
     * p1 < p2, for every pair of distinct parts appearing in the same
     * order. ONE corpus scan: per-order part sets aggregate on the
@@ -522,5 +592,5 @@ object Graph {
   }
 
   val all: Seq[Q] =
-    Seq(qPagerank, qTriangles, qKcore, qLabelProp, qBfsHops)
+    Seq(qPagerank, qPpr, qTriangles, qKcore, qLabelProp, qBfsHops)
 }
