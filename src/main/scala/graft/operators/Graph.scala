@@ -531,6 +531,76 @@ object Graph {
       .orderBy("node")
   }
 
+  /** X17: modularity scoring of the LPA community assignment — the
+    * standard evaluation companion: per community c,
+    * q_term(c) = W_in(c)/W − (S(c)/2W)², where W is total undirected
+    * edge weight, W_in(c) the weight inside c, S(c) the weighted degree
+    * sum. Every numerator/denominator is an exact BIGINT (the
+    * symmetrized edge list counts each undirected edge twice, so
+    * w_in_x2/w_x2 = W_in/W and s_deg/w_x2 = S/2W with no halving), and
+    * the two float divisions + one product are the identical IEEE ops
+    * in both engines, ROUND(…,6)-normalized (signed: a fragmented
+    * community's term can be negative). Scale shape: one
+    * label-broadcast join pass over the edge scan for W_in (both
+    * endpoint labels attached map-side), one node-width degree join —
+    * nothing wider than the edge scan itself. */
+  private val qModularity = Q("q_modularity",
+    s"""WITH po AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o,
+       |    l_partkey AS p FROM lineitem),
+       |pr AS MATERIALIZED (SELECT a.p AS p1, b.p AS p2,
+       |    CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $lpaMinW),
+       |e AS MATERIALIZED (SELECT p1 AS s, p2 AS t, w FROM pr
+       |      UNION ALL SELECT p2, p1, w FROM pr),
+       |l0 AS MATERIALIZED (SELECT DISTINCT s AS n, s AS lbl FROM e),
+       |${(1 to lpaRounds).map(lpaRoundSql).mkString(",\n")},
+       |wdeg AS MATERIALIZED (SELECT s AS n, CAST(SUM(w) AS BIGINT) AS wd
+       |  FROM e GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS w_x2 FROM e),
+       |win AS MATERIALIZED (SELECT la.lbl AS community,
+       |    CAST(SUM(e.w) AS BIGINT) AS w_in_x2
+       |  FROM e JOIN l$lpaRounds la ON e.s = la.n
+       |  JOIN l$lpaRounds lb ON e.t = lb.n AND lb.lbl = la.lbl
+       |  GROUP BY 1),
+       |sd AS MATERIALIZED (SELECT la.lbl AS community,
+       |    CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |    CAST(SUM(wd.wd) AS BIGINT) AS s_deg
+       |  FROM l$lpaRounds la JOIN wdeg wd ON wd.n = la.n GROUP BY 1)
+       |SELECT sd.community, sd.n_nodes, COALESCE(win.w_in_x2, 0) AS w_in_x2,
+       |  sd.s_deg,
+       |  ROUND(CAST(COALESCE(win.w_in_x2, 0) AS DOUBLE) / tot.w_x2
+       |    - (CAST(sd.s_deg AS DOUBLE) / tot.w_x2)
+       |      * (CAST(sd.s_deg AS DOUBLE) / tot.w_x2), 6) + 0.0 AS q_term
+       |FROM sd LEFT JOIN win ON win.community = sd.community
+       |CROSS JOIN tot ORDER BY sd.community""".stripMargin) { (s, d) =>
+    val prw = coOccurWeighted(s, d, lpaMinW)
+    val e = prw.select(col("p1").as("s"), col("p2").as("t"), col("w"))
+      .union(prw.select(col("p2"), col("p1"), col("w")))
+      .localCheckpoint(true) // consumed 4x: LPA loop, wdeg, tot, win
+    val lbl = labelPropagation(e, lpaRounds)
+    val wdeg = e.groupBy(col("s").as("n")).agg(sum("w").as("wd"))
+    val tot = e.agg(sum("w").as("w_x2"))
+    val win = e
+      .join(broadcast(lbl.select(col("n").as("s"), col("lbl").as("la"))), "s")
+      .join(broadcast(lbl.select(col("n").as("t"), col("lbl").as("lb"))), "t")
+      .where(col("la") === col("lb"))
+      .groupBy(col("la").as("community")).agg(sum("w").as("w_in_x2"))
+    val sd = lbl.join(wdeg, "n")
+      .groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum("wd").as("s_deg"))
+    sd.join(win, Seq("community"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("w_in_x2"), lit(0L)).as("w_in_x2"), col("s_deg"),
+        Q.roundz(
+          coalesce(col("w_in_x2"), lit(0L)).cast("double") / col("w_x2")
+            - (col("s_deg").cast("double") / col("w_x2"))
+              * (col("s_deg").cast("double") / col("w_x2")), 6)
+          .as("q_term"))
+      .orderBy("community")
+  }
+
   /** `rounds` rounds of multi-source BFS over an undirected edge list
     * (s, t) — both directions present — from a seed frame of (n) rows:
     * frontier-relaxation dist(n) = min(dist(n), min over nbrs dist+1),
@@ -592,5 +662,6 @@ object Graph {
   }
 
   val all: Seq[Q] =
-    Seq(qPagerank, qPpr, qTriangles, qKcore, qLabelProp, qBfsHops)
+    Seq(qPagerank, qPpr, qTriangles, qKcore, qLabelProp, qModularity,
+      qBfsHops)
 }
