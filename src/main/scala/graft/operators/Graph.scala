@@ -578,7 +578,15 @@ object Graph {
     val e = prw.select(col("p1").as("s"), col("p2").as("t"), col("w"))
       .union(prw.select(col("p2"), col("p1"), col("w")))
       .localCheckpoint(true) // consumed 4x: LPA loop, wdeg, tot, win
-    val lbl = labelPropagation(e, lpaRounds)
+    modularityTerms(e, labelPropagation(e, lpaRounds)).orderBy("community")
+  }
+
+  /** Per-community modularity terms of assignment `lbl`(n, lbl) over a
+    * symmetrized weighted edge list `e`(s, t, w) — see [[qModularity]]'s
+    * scaladoc for the exact-integer discipline. Factored so the
+    * synthetic-graph spec pins the closed-form values. */
+  private[graft] def modularityTerms(e: DataFrame,
+      lbl: DataFrame): DataFrame = {
     val wdeg = e.groupBy(col("s").as("n")).agg(sum("w").as("wd"))
     val tot = e.agg(sum("w").as("w_x2"))
     val win = e
@@ -598,7 +606,6 @@ object Graph {
             - (col("s_deg").cast("double") / col("w_x2"))
               * (col("s_deg").cast("double") / col("w_x2")), 6)
           .as("q_term"))
-      .orderBy("community")
   }
 
   /** `rounds` rounds of multi-source BFS over an undirected edge list

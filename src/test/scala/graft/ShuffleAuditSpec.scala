@@ -337,6 +337,26 @@ class ShuffleAuditSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L)
   }
 
+  test("modularity terms match the closed form on two bridged triangles") {
+    import spark.implicits._
+    // unit-weight triangles {1,2,3} and {10,11,12} + bridge 3-10:
+    // W = 7, per community W_in = 3, S = 7 =>
+    // q_term = 6/14 - (7/14)^2 = 3/7 - 1/4 = 0.178571 each;
+    // global Q = 2*q_term ~ 0.357143
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L))
+      .map { case (a, b) => (a, b, 1L) }.toDF("s", "t", "w")
+    val e = und.union(und.select($"t", $"s", $"w"))
+    val lbl = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 10L), (11L, 10L), (12L, 10L)).toDF("n", "lbl")
+    val got = graft.operators.Graph.modularityTerms(e, lbl)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    got.keySet shouldBe Set(1L, 10L)
+    got(1L) shouldBe ((3L, 6L, 7L, 0.178571))
+    got(10L) shouldBe ((3L, 6L, 7L, 0.178571))
+  }
+
   test("multi-source BFS relaxes exact hop distances on a path") {
     import spark.implicits._
     // path 1-2-3-4-5 with seed {1}: dist = position - 1; 3 rounds pin
