@@ -9,11 +9,18 @@ import org.apache.spark.sql.SparkSession
   * terminal action — otherwise a full 85-query run accumulates orphaned
   * MEMORY_AND_DISK blocks for the session lifetime, evicting later
   * queries' working set and skewing timings (advisor finding, round 2).
+  *
+  * [[Memo]]-pinned blocks are the one exception: frames deliberately
+  * shared ACROSS queries (graph builds, the LPA assignment) must survive
+  * the per-query sweep — they are bounded (node/edge-width) and freed
+  * with the session.
   */
 object Cleanup {
   def apply(spark: SparkSession): Unit = {
     spark.sharedState.cacheManager.clearCache()
-    spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
+    val keep = Memo.pinnedRddIds(spark)
+    spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!keep.contains(id)) rdd.unpersist(blocking = false)
+    }
   }
 }

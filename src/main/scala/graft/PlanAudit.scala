@@ -33,7 +33,8 @@ object PlanAudit {
         "q_count_min", "q_hll_registers", "q_pii_redact", "q_window_range",
         "q_merge_upsert", "q_event_hll", "q_join_interval",
         "q_label_prop", "q_bfs_hops", "q_bloom_registers",
-        "q_dedup_incremental", "q_heavy_hitters")
+        "q_dedup_incremental", "q_heavy_hitters", "q_ppr", "q_modularity",
+        "q_corpus_assembly")
     for (n <- names) {
       println(s"==== $n ====")
       val df = SparkEntry.queries(n)(spark, d)
