@@ -1,0 +1,135 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Round-9 verdict asks #1/#2: the fixpoint forms of the iterative graph
+  * loops (converge-and-stop, vs the bounded-round declared queries) and
+  * the size-dispatched state joins (broadcast under the budget, plain
+  * shuffle join beyond — never a driver-OOM hard hint at 10⁸ nodes).
+  *
+  * The load-bearing property for the declared fixpoint queries
+  * (q_kcore_fixpoint, q_bfs_reach) is CAPPED FIXPOINT ≡ BOUNDED FORM on
+  * every input: converged early → remaining rounds are identity; not
+  * converged → both executed exactly the cap. That equivalence is what
+  * lets a data-dependent loop keep an exact unrolled DuckDB oracle, so
+  * it is pinned here differentially on synthetic graphs engineered to
+  * hit both sides (early convergence AND a binding cap).
+  */
+class GraphFixpointSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Undirected helper: symmetrize an (s, t) pair list. */
+  private def und(pairs: Seq[(Long, Long)]): DataFrame = {
+    val d = pairs.toDF("s", "t")
+    d.union(d.select($"t", $"s"))
+  }
+
+  private def coreMap(df: DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  // K4 clique (all degree 3) + pendant path 4-5-6-7-8: peeling at k = 2
+  // eats the path one node per round from the free end — a 4-round
+  // cascade, so fixpoint genuinely iterates past the declared queries'
+  // bounded budget before the clique alone survives. NOTE: peelKCore
+  // takes each undirected edge ONCE (it degree-counts both endpoints),
+  // unlike the symmetrized lists the LPA/BFS loops consume.
+  private def caterpillar: DataFrame =
+    ((for (a <- 1L to 4L; b <- a + 1 to 4L) yield (a, b)) ++
+      Seq((4L, 5L), (5L, 6L), (6L, 7L), (7L, 8L))).toDF("s", "t")
+
+  test("k-core fixpoint: peels the whole pendant path, stops early, equals the bounded form") {
+    val (core, rounds) = Graph.kCoreFixpoint(caterpillar, k = 2, maxRounds = 64)
+    // the path needs 4 peel rounds (8, then 7, 6, 5); K4 survives at deg 3
+    coreMap(core) shouldBe (1L to 4L).map(_ -> 3L).toMap
+    rounds shouldBe 4
+    // capped-fixpoint == bounded form once converged
+    coreMap(Graph.peelKCore(caterpillar, k = 2, rounds = 10)) shouldBe coreMap(core)
+  }
+
+  test("k-core fixpoint with a binding cap == the bounded form at the cap") {
+    val (capped, rounds) = Graph.kCoreFixpoint(caterpillar, k = 2, maxRounds = 2)
+    rounds shouldBe 2
+    coreMap(capped) shouldBe coreMap(Graph.peelKCore(caterpillar, k = 2, rounds = 2))
+    // and it is genuinely NOT yet the fixpoint: node 6 still alive at deg 1
+    coreMap(capped).keySet should contain(6L)
+  }
+
+  test("LPA fixpoint converges on bridged triangles and equals the bounded form") {
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L)).map { case (a, b) => (a, b, 3L) }
+    val w = (tri :+ ((3L, 10L, 1L))).toDF("s", "t", "w")
+    val e = w.union(w.select($"t", $"s", $"w"))
+    val (lbl, rounds) = Graph.labelPropagationFixpoint(e, maxRounds = 16)
+    coreMap(lbl) shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L)
+    // settles in 2 rounds + 1 detection round; well under the cap
+    rounds should be < 16
+    coreMap(Graph.labelPropagation(e, rounds)) shouldBe coreMap(lbl)
+  }
+
+  test("LPA fixpoint cap is load-bearing: a 2-cycle oscillator runs exactly maxRounds") {
+    // single edge 1-2: synchronous LPA swaps labels every round, forever
+    val e = Seq((1L, 2L, 1L), (2L, 1L, 1L)).toDF("s", "t", "w")
+    val (lbl, rounds) = Graph.labelPropagationFixpoint(e, maxRounds = 5)
+    rounds shouldBe 5
+    // parity of the cap decides the phase; 5 rounds == bounded 5 rounds
+    coreMap(lbl) shouldBe coreMap(Graph.labelPropagation(e, 5))
+  }
+
+  test("BFS fixpoint reaches the whole path at exact distances and stops early") {
+    val path = und((1L to 10L).sliding(2).map(x => (x(0), x(1))).toSeq)
+    val seeds = Seq(Tuple1(1L)).toDF("n")
+    val (dist, rounds) = Graph.bfsFixpoint(path, seeds, maxRounds = 64)
+    coreMap(dist) shouldBe (1L to 10L).map(n => n -> (n - 1)).toMap
+    // 9 relaxation rounds + 1 stationarity-detection round
+    rounds shouldBe 10
+    coreMap(Graph.bfsHops(path, seeds, 12)) shouldBe coreMap(dist)
+  }
+
+  test("BFS fixpoint with a binding cap == the bounded form at the cap") {
+    val path = und((1L to 10L).sliding(2).map(x => (x(0), x(1))).toSeq)
+    val seeds = Seq(Tuple1(1L)).toDF("n")
+    val (capped, rounds) = Graph.bfsFixpoint(path, seeds, maxRounds = 3)
+    rounds shouldBe 3
+    coreMap(capped) shouldBe coreMap(Graph.bfsHops(path, seeds, 3))
+    coreMap(capped).keySet shouldBe (1L to 4L).toSet
+  }
+
+  private def countBhj(df: DataFrame): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    def walk(p: SparkPlan): Int = p match {
+      case _: BroadcastHashJoinExec => 1 + p.children.map(walk).sum
+      case _ => p.children.map(walk).sum
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
+  test("state joins dispatch on estimated size: broadcast under the budget, shuffle join beyond") {
+    Graph.withAqeOff(spark) {
+      val (e, deg, n) = Graph.edgeFrames(spark, sfDir)
+      val pr0 = deg.select(col("src").as("node"), (lit(1.0) / n).as("pr"))
+        .localCheckpoint(true)
+      val key = "graft.graph.broadcastStateBytes"
+      // default budget: both node-width state joins broadcast
+      spark.conf.unset(key)
+      val hinted = Graph.rankIteration(e, deg, pr0, n)
+      countBhj(hinted) shouldBe 2
+      // zero budget: the SAME iteration plans plain (shuffle) joins —
+      // the |V| ≥ 10⁸ shape where a hard broadcast hint would OOM
+      spark.conf.set(key, "0")
+      try {
+        val plain = Graph.rankIteration(e, deg, pr0, n)
+        countBhj(plain) shouldBe 0
+        // and the dispatch is plan-only: bit-identical ranks either way
+        // (quantized-long contributions are order-free)
+        val a = hinted.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        val b = plain.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        b shouldBe a
+      } finally spark.conf.unset(key)
+    }
+  }
+}
