@@ -383,11 +383,21 @@ class ShuffleAuditSpec extends SparkSpec {
     // once per corpus lifetime — here it is the sketch build), the
     // 2048-cell partial BIT_OR (capped by geometry, not data), the
     // per-doc probe aggregate (4 rows/doc), and the confirm join of
-    // bloom SURVIVORS only. At sf0.1 that totals well under the old
-    // corpus's text bytes (~7 MB) — a full-corpus text shuffle would
-    // blow this bound immediately.
-    val b = shuffleWriteBytes(pipeByName("q_dedup_incremental").fn(spark, sf01))
-    withClue(s"shuffle bytes = $b:") { b should be < 2L * 1024 * 1024 }
+    // bloom SURVIVORS only. Run at sf0.1 (round-8 advisor: at sf0.01
+    // even a full-corpus text shuffle ~150–300 KB would sneak under any
+    // honest bound): sf0.1 carries ~1.5 MB of document text, so the
+    // 512 KB bound is far below what shuffling the old corpus's text —
+    // the regression this guards against — would write, with headroom
+    // over the real digest/sketch exchanges.
+    val sf10 = "/root/testdata/sf0.1"
+    val textBytes = Tables.documents(spark, sf10)
+      .agg(sum(org.apache.spark.sql.functions.length(col("text"))))
+      .head().getLong(0)
+    textBytes should be > 1L * 1024 * 1024 // the bound only means something here
+    val b = shuffleWriteBytes(pipeByName("q_dedup_incremental").fn(spark, sf10))
+    withClue(s"shuffle bytes = $b vs corpus text $textBytes:") {
+      b should be < 512L * 1024
+    }
   }
 
   /** Count distinct scans of the `documents` parquet in `plan`, descending
