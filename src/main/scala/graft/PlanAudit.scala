@@ -34,7 +34,7 @@ object PlanAudit {
         "q_merge_upsert", "q_event_hll", "q_join_interval",
         "q_label_prop", "q_bfs_hops", "q_bloom_registers",
         "q_dedup_incremental", "q_heavy_hitters", "q_ppr", "q_modularity",
-        "q_corpus_assembly")
+        "q_corpus_assembly", "q_kcore_fixpoint", "q_bfs_reach")
     for (n <- names) {
       println(s"==== $n ====")
       val df = SparkEntry.queries(n)(spark, d)

@@ -172,6 +172,43 @@ class StreamingRestartSpec extends SparkSpec {
     halfOnly should not be batch
   }
 
+  test("streaming content dedup suppresses a post-restart re-delivery of a pre-restart document") {
+    implicit val sqlCtx = spark.sqlContext
+    def text(seed: Int): String = {
+      val rnd = new scala.util.Random(seed)
+      (0 until 60).map(_ => s"w${rnd.nextInt(400)}").mkString(" ")
+    }
+    val tA = text(1); val tB = text(2); val tC = text(3)
+    // doc 0 (tA) and doc 1 (tB) arrive before the restart; doc 2
+    // re-delivers tA AFTER it — only recovered digest state can
+    // suppress it. doc 3 (tC) is genuinely new and must pass.
+    val firstDocs = Seq(Doc(0, tmin(0), tA), Doc(1, tmin(1), tB))
+    val secondDocs = Seq(Doc(2, tmin(2), tA), Doc(3, tmin(3), tC))
+
+    val chk = chkDir("dedup")
+    val mem = MemoryStream[Doc]
+    val buf = scala.collection.mutable.ArrayBuffer[Row]()
+    def start() = CorpusIngest.dedupExact(mem.toDS())
+      .toDF().writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", chk)
+      .foreachBatch { (df: Dataset[Row], _: Long) =>
+        val rows = df.collect(); buf.synchronized { buf ++= rows }; ()
+      }.start()
+    val q1 = start()
+    mem.addData(firstDocs); q1.processAllAvailable()
+    q1.stop(); q1.awaitTermination()
+    val q2 = start()
+    try {
+      mem.addData(secondDocs); q2.processAllAvailable()
+      val kept = buf.synchronized(buf.toSeq)
+        .map(_.getAs[Long]("doc_id")).distinct.sorted
+      kept shouldBe Seq(0L, 1L, 3L)
+      // the batch twin over the full feed keeps the same survivors
+      CorpusIngest.dedupExact((firstDocs ++ secondDocs).toDS()).collect()
+        .map(_.doc_id).sorted.toSeq shouldBe kept
+    } finally q2.stop()
+  }
+
   test("windowed monitor sketch cells survive a checkpoint restart") {
     implicit val sqlCtx = spark.sqlContext
     // reuse the session fixture's bursty arrivals; windows are 1 day so
