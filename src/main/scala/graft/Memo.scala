@@ -62,6 +62,23 @@ object Memo {
     acc
   }
 
+  /** Release every entry for `s` and unpersist its pinned blocks — an
+    * embedding application that processes many datasets in one session
+    * calls this at dataset boundaries; the harness never needs it (its
+    * memo dies with the session). */
+  def release(s: SparkSession): Unit = {
+    val persisted = s.sparkContext.getPersistentRDDs
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq s) {
+        e.getValue.rddIds.foreach(id =>
+          persisted.get(id).foreach(_.unpersist(blocking = false)))
+        it.remove()
+      }
+    }
+  }
+
   /** Test hook: drop everything (e.g. between conf-flip scenarios). */
   private[graft] def clear(): Unit = m.clear()
 }

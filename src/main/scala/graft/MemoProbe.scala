@@ -35,6 +35,8 @@ object MemoProbe {
     time("coOccurEdgesCk") { operators.Graph.coOccurEdgesCk(spark, d) }
     time("weightedEdges") { operators.Graph.weightedEdges(spark, d) }
     time("lpaAssignment") { operators.Graph.lpaAssignment(spark, d) }
+    time("kCoreShared") { operators.Graph.kCoreShared(spark, d) }
+    time("bfsShared") { operators.Graph.bfsShared(spark, d) }
     time("jaccardPairsShared") {
       operators.PipelineQueries.jaccardPairsShared(spark, d)
     }

@@ -471,6 +471,22 @@ object Graph {
   private[graft] def peelKCore(edges: DataFrame, k: Int,
       rounds: Int): DataFrame = kCoreRounds(edges, k, rounds)._1
 
+  /** ONE peel run serving BOTH declared k-core queries: the bounded
+    * form is an exact PREFIX of the fixpoint run (rounds are
+    * deterministic), so the shared run snapshots the degree state after
+    * [[kcoreRounds]] rounds (= q_kcore) and keeps peeling to the
+    * [[kcoreFixMaxRounds]]-capped fixpoint (= q_kcore_fixpoint).
+    * Memoized per (session, dir) like the other shared builds. */
+  private[graft] def kCoreShared(s: org.apache.spark.sql.SparkSession,
+      d: String): (DataFrame, DataFrame) =
+    graft.Memo(s, s"graph.kcoreShared:$d") {
+      val e = coOccurEdgesCk(s, d)
+        .select(col("p1").as("s"), col("p2").as("t"))
+      val (fin, _, snap) =
+        kCorePeel(e, kcoreK, kcoreFixMaxRounds, kcoreRounds)
+      (snap, fin)
+    }
+
   /** Run the peel to FIXPOINT (no node of in-subgraph degree < k
     * remains), capped at `maxRounds` — the operator a user actually
     * calls ("the k-core"), vs the bounded-round declared-query form.
@@ -483,20 +499,38 @@ object Graph {
     * an exact unrolled oracle (KCoreSpec pins the equivalence
     * differentially). */
   private[graft] def kCoreFixpoint(edges: DataFrame, k: Int,
-      maxRounds: Int = 64): (DataFrame, Int) = kCoreRounds(edges, k, maxRounds)
+      maxRounds: Int = 64): (DataFrame, Int) = {
+    val (fin, r, _) = kCorePeel(edges, k, maxRounds, snapAt = maxRounds)
+    (fin, r)
+  }
+
+  private def kCoreRounds(edges: DataFrame, k: Int,
+      maxRounds: Int): (DataFrame, Int) = {
+    val (fin, r, _) = kCorePeel(edges, k, maxRounds, snapAt = maxRounds)
+    (fin, r)
+  }
 
   /** The shared peel loop — see [[peelKCore]]'s original scaladoc for
     * the incremental-degree shape. `edges` should arrive materialized
     * (the loop scans it twice per round); per-round state stays
     * node-width and checkpointed. Exits as soon as a round removes
     * nothing: the remaining rounds would be identity, so early exit is
-    * result-invariant for the bounded form too. */
-  private def kCoreRounds(edges: DataFrame, k: Int,
-      maxRounds: Int): (DataFrame, Int) = {
+    * result-invariant for the bounded form too. Returns (finalCore,
+    * roundsRun, snapshotCore) where the snapshot is the core after
+    * `snapAt` rounds — identical to the final core when convergence
+    * lands first (no-op rounds) or snapAt ≥ maxRounds. */
+  private def kCorePeel(edges: DataFrame, k: Int,
+      maxRounds: Int, snapAt: Int): (DataFrame, Int, DataFrame) = {
+    def core(deg: DataFrame): DataFrame =
+      // a survivor that lost ALL its edges has no row in the surviving
+      // subgraph's group-by (the definitional form) — drop it here too
+      // rather than report a 0-degree "core" member
+      deg.filter(col("deg") > 0).select(col("n").as("node"), col("deg"))
     val e = edges
     var deg = e.select(explode(array(col("s"), col("t"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
+    var snap: DataFrame = null
     var r = 0
     var converged = false
     while (r < maxRounds && !converged) {
@@ -517,12 +551,11 @@ object Graph {
           .join(delta, Seq("n"), "left")
           .select(col("n"), (col("deg") - coalesce(col("d"), lit(0L))).as("deg"))
           .localCheckpoint(true)
+        if (r == snapAt) snap = core(deg)
       }
     }
-    // a survivor that lost ALL its edges this round has no row in the
-    // surviving subgraph's group-by (the definitional form) — drop it
-    // here too rather than report a 0-degree "core" member
-    (deg.filter(col("deg") > 0).select(col("n").as("node"), col("deg")), r)
+    val fin = core(deg)
+    (fin, r, if (snap == null) fin else snap)
   }
 
   private val kcoreK = 80
@@ -552,9 +585,8 @@ object Graph {
        |SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS deg
        |FROM ed$kcoreRounds GROUP BY s ORDER BY node""".stripMargin
   }) { (s, d) =>
-    val e = coOccurEdgesCk(s, d)
-      .select(col("p1").as("s"), col("p2").as("t"))
-    peelKCore(e, kcoreK, kcoreRounds).orderBy("node")
+    // bounded form = the round-4 snapshot of the shared peel run
+    kCoreShared(s, d)._1.orderBy("node")
   }
 
   /** Round budget for q_kcore_fixpoint: comfortably above the measured
@@ -586,9 +618,8 @@ object Graph {
        |SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS deg
        |FROM ed$kcoreFixMaxRounds GROUP BY s ORDER BY node""".stripMargin
   }) { (s, d) =>
-    val e = coOccurEdgesCk(s, d)
-      .select(col("p1").as("s"), col("p2").as("t"))
-    kCoreFixpoint(e, kcoreK, kcoreFixMaxRounds)._1.orderBy("node")
+    // fixpoint form = the terminal state of the same shared peel run
+    kCoreShared(s, d)._2.orderBy("node")
   }
 
   /** `rounds` synchronous rounds of weighted label propagation over an
@@ -811,7 +842,17 @@ object Graph {
     * ([[stateHint]]). The per-round fingerprint aggregate doubles as
     * the frontier-size probe the dispatch needs. */
   private def bfsLoop(edges: DataFrame, seeds: DataFrame, maxRounds: Int,
-      detectFix: Boolean): (DataFrame, Int) = {
+      detectFix: Boolean): (DataFrame, Int) =
+    { val (d, r, _) = bfsRun(edges, seeds, maxRounds, detectFix,
+        snapAt = maxRounds); (d, r) }
+
+  /** The relaxation loop with an optional mid-run SNAPSHOT: the bounded
+    * declared query is an exact prefix of the fixpoint run (rounds are
+    * deterministic), so one shared run can serve both — `snapAt` rounds
+    * in, the current distance frame IS the bounded result (or the final
+    * frame, identical, when convergence landed first). */
+  private def bfsRun(edges: DataFrame, seeds: DataFrame, maxRounds: Int,
+      detectFix: Boolean, snapAt: Int): (DataFrame, Int, DataFrame) = {
     val e = edges
     var dist = seeds.select(col("n"), lit(0L).as("dist"))
       .localCheckpoint(true)
@@ -820,6 +861,7 @@ object Graph {
       (row.getLong(0), row.getLong(1))
     }
     var prev = sig(dist)
+    var snap: DataFrame = null
     var r = 0
     var converged = false
     while (r < maxRounds && !converged) {
@@ -834,9 +876,24 @@ object Graph {
       if (detectFix && cur == prev) converged = true
       prev = cur
       dist = next
+      if (r == snapAt) snap = dist
     }
-    (dist, r)
+    (dist, r, if (snap == null) dist else snap)
   }
+
+  /** ONE relaxation run serving BOTH declared BFS queries
+    * ([[bfsRun]] snapshot at [[bfsRounds]], fixpoint cap
+    * [[bfsFixMaxRounds]]); memoized per (session, dir). */
+  private[graft] def bfsShared(s: org.apache.spark.sql.SparkSession,
+      d: String): (DataFrame, DataFrame) =
+    graft.Memo(s, s"graph.bfsShared:$d") {
+      val e = weightedEdges(s, d).select(col("s"), col("t"))
+      val seeds = e.select(col("s").as("n"))
+        .where(col("n") % 199 === 0).distinct()
+      val (fin, _, snap) = bfsRun(e, seeds, bfsFixMaxRounds,
+        detectFix = true, snapAt = bfsRounds)
+      (snap, fin)
+    }
 
   private val bfsRounds = 4
 
@@ -864,13 +921,11 @@ object Graph {
        |${(1 to bfsRounds).map(bfsRoundSql).mkString(",\n")}
        |SELECT n AS node, dist FROM d$bfsRounds ORDER BY node""".stripMargin)
     { (s, d) =>
-    // one memoized checkpointed edge frame feeds BOTH the seed derivation
-    // and the loop (round-8 advisor: deriving seeds from a fresh frame
+    // bounded form = the round-4 snapshot of the shared relaxation run
+    // (seeds and loop both read the one memoized checkpointed edge
+    // frame — round-8 advisor: deriving seeds from a fresh frame
     // replayed the whole co-occurrence pipeline a second time)
-    val e = weightedEdges(s, d).select(col("s"), col("t"))
-    val seeds = e.select(col("s").as("n"))
-      .where(col("n") % 199 === 0).distinct()
-    bfsHops(e, seeds, bfsRounds)
+    bfsShared(s, d)._1
       .select(col("n").as("node"), col("dist")).orderBy("node")
   }
 
@@ -898,10 +953,8 @@ object Graph {
        |${(1 to bfsFixMaxRounds).map(bfsRoundSql).mkString(",\n")}
        |SELECT n AS node, dist FROM d$bfsFixMaxRounds ORDER BY node""".stripMargin)
     { (s, d) =>
-    val e = weightedEdges(s, d).select(col("s"), col("t"))
-    val seeds = e.select(col("s").as("n"))
-      .where(col("n") % 199 === 0).distinct()
-    bfsFixpoint(e, seeds, bfsFixMaxRounds)._1
+    // fixpoint form = the terminal state of the same shared run
+    bfsShared(s, d)._2
       .select(col("n").as("node"), col("dist")).orderBy("node")
   }
 
