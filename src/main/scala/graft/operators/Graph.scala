@@ -19,13 +19,16 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape (100 TB): the edge list and degree table materialize
   * once (eager localCheckpoint — 5 reuses each); each iteration
-  * broadcast-joins the NODE-width rank and degree frames into the
-  * streaming edge scan and exchanges ONE map-side-combined aggregate
+  * joins the NODE-width rank and degree frames into the streaming
+  * edge scan (size-dispatched: broadcast under the
+  * `graft.graph.broadcastStateBytes` budget, shuffle join beyond —
+  * [[Graph.stateHint]]) and exchanges ONE map-side-combined aggregate
   * on dst carrying (dst, long) pairs — rank state is 16 bytes/node,
-  * never adjacency or payload. Where |V| outgrows broadcast, the
-  * fallback is the same iteration over an edge table bucketed by src
-  * (exchange-free on src, pinned in ScaleTechniquesSpec); the loop
-  * adds no driver-side state beyond N.
+  * never adjacency or payload. Where |V| outgrows broadcast the
+  * dispatch flips to the plain join and the right deployment buckets
+  * the edge table by src (exchange-free on src, pinned in
+  * ScaleTechniquesSpec); the loop adds no driver-side state beyond
+  * N.
   */
 object Graph {
 
@@ -45,7 +48,8 @@ object Graph {
   /** One rank iteration from the materialized edge/degree frames —
     * factored out so ShuffleAuditSpec can plan-assert its exchange
     * budget. Rank state and degrees are NODE-width (|V| ≪ |E|), so both
-    * ride broadcast hash joins and the edge table streams through
+    * ride broadcast hash joins (below the [[stateHint]] budget —
+    * beyond it the dispatch plans plain joins) and the edge table streams through
     * un-shuffled and un-sorted in whatever layout it sits — the only
     * exchange is the map-side-combined (dst, long) partial aggregate.
     * This replaces the round-8 sort-merge formulation that pinned e's
@@ -455,14 +459,14 @@ object Graph {
     *
     * Degrees are maintained INCREMENTALLY: the edge table materializes
     * ONCE and is never rewritten — each round scans it map-side against
-    * the broadcast newly-removed set to aggregate per-survivor degree
+    * the size-dispatched ([[stateHint]]) newly-removed set to aggregate per-survivor degree
     * deltas (peeling removes few nodes per round, so rewriting the
     * barely-shrinking edge frame — the naive form — paid a full
     * 2.4M-row checkpoint + full-width degree shuffle per round: 7.9 s
     * at sf0.1 vs ~2 s for this form). All evolving state (deg, removed)
     * is NODE-width and checkpointed per round for O(1) plan depth.
     *
-    * Scale shape (100 TB): per round, two broadcast-join passes over
+    * Scale shape (100 TB): per round, two state-join passes over
     * the static edge scan + one map-side-combined delta aggregate
     * bounded by the removed nodes' degree sum — no edge shuffle, no
     * edge rewrite, ever. Beyond broadcast (removed set ≥ ~10⁸ — only
@@ -634,7 +638,8 @@ object Graph {
     * The argmax is two hash aggregates (votes on (node, label), then
     * max of a packed (v, -label) struct per node) — no per-round window
     * sort. Scale shape (100 TB): label state is NODE-width and rides a
-    * broadcast join into the streaming edge scan; the two aggregates
+    * size-dispatched join ([[stateHint]]) into the streaming edge
+    * scan; the two aggregates
     * are map-side combined and bounded by Σ|neighbor labels| ≤ |E|.
     * Per-round localCheckpoint keeps plan depth O(1). Beyond broadcast
     * (|V| ≥ ~10⁸) the state join falls back to the co-keyed

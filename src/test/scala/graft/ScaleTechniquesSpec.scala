@@ -109,6 +109,58 @@ class ScaleTechniquesSpec extends SparkSpec {
     }
   }
 
+  test("beyond the broadcast budget the rank iteration consumes the bucketed layout co-keyed") {
+    // The round-9 dispatch's far side, made measurable: with
+    // graft.graph.broadcastStateBytes = 0 (the |V| ≥ 10⁸ regime where a
+    // broadcast would OOM the driver), stateHint plans PLAIN joins — and
+    // over the bucketed-by-src edge/degree tables, with rank state
+    // derived from the same layout, those joins consume the buckets
+    // co-keyed: no BroadcastHashJoin anywhere, no exchange on src on ANY
+    // side, only the (dst, long) partial aggregate moves. This is the
+    // production deployment the loop scaladocs describe.
+    spark.sql("DROP TABLE IF EXISTS c_edges")
+    spark.sql("DROP TABLE IF EXISTS c_deg")
+    val key = "graft.graph.broadcastStateBytes"
+    val autoKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prevAuto = spark.conf.get(autoKey)
+    try {
+      val (e, deg, n) = graft.operators.Graph.edgeFrames(spark, sfDir)
+      e.write.bucketBy(8, "src").sortBy("src").saveAsTable("c_edges")
+      deg.write.bucketBy(8, "src").sortBy("src").saveAsTable("c_deg")
+      val eb = spark.table("c_edges")
+      val db = spark.table("c_deg")
+      val pr0 = db.select(col("src").as("node"), (lit(1.0) / n).as("pr"))
+      spark.conf.set(key, "0")
+      // at 10⁸ nodes the state tables' stats exceed the planner's own
+      // broadcast threshold too; bench-scale tables are KBs, so simulate
+      // that by disabling auto-broadcast — the dispatch already dropped
+      // the hint, this makes the planner see "too big" as it would there
+      spark.conf.set(autoKey, "-1")
+      val it = graft.operators.Graph.rankIteration(eb, db, pr0, n)
+      it.count()
+      val plan = it.queryExecution.executedPlan.toString
+      withClue(plan) {
+        plan should not include "BroadcastHashJoin"
+        "Exchange hashpartitioning\\(src".r.findAllIn(plan).size shouldBe 0
+        "Exchange hashpartitioning\\(node".r.findAllIn(plan).size shouldBe 0
+      }
+      // and the dispatch is plan-only: identical ranks to the hinted form
+      spark.conf.unset(key)
+      spark.conf.set(autoKey, prevAuto)
+      val expect = graft.operators.Graph.rankIteration(e, deg,
+        deg.select(col("src").as("node"), (lit(1.0) / n).as("pr")), n)
+      it.select(col("node"), round(col("pr"), 9).as("pr")).orderBy("node")
+        .collect() shouldBe
+        expect.select(col("node"), round(col("pr"), 9).as("pr"))
+          .orderBy("node").collect()
+    } finally {
+      spark.conf.unset(key)
+      spark.conf.set(autoKey, prevAuto)
+      spark.sql("DROP TABLE IF EXISTS c_edges")
+      spark.sql("DROP TABLE IF EXISTS c_deg")
+    }
+  }
+
   test("declared scans push predicates and prune columns at the parquet scan") {
     // the two halves of "don't read what you don't need" at 100 TB:
     // predicates must reach the parquet reader (row-group/page skipping)
