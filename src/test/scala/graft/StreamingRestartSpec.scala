@@ -209,6 +209,44 @@ class StreamingRestartSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming MinHash near-dup finds a pair that straddles the restart") {
+    implicit val sqlCtx = spark.sqlContext
+    // doc 0 arrives before the restart; its near-duplicate doc 1 after —
+    // the pair can only be reported if doc 0's band signatures were
+    // recovered from the checkpointed band-list state
+    val base = (0 until 120).map(i => s"w${(i * 37) % 500}").toArray
+    val near = (base.take(110) ++ base.take(10)).mkString(" ")
+    val far = (0 until 120).map(i => s"x${(i * 53) % 500}").mkString(" ")
+    val firstDocs = Seq(Doc(0, tmin(0), base.mkString(" ")),
+      Doc(2, tmin(1), far))
+    val secondDocs = Seq(Doc(1, tmin(2), near))
+
+    val chk = chkDir("neardup")
+    val mem = MemoryStream[Doc]
+    val buf = scala.collection.mutable.ArrayBuffer[Row]()
+    def start() = CorpusIngest.nearDupPairs(mem.toDS())
+      .toDF().writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", chk)
+      .foreachBatch { (df: Dataset[Row], _: Long) =>
+        val rows = df.collect(); buf.synchronized { buf ++= rows }; ()
+      }.start()
+    val q1 = start()
+    mem.addData(firstDocs); q1.processAllAvailable()
+    buf.synchronized(buf.size) shouldBe 0 // no pair exists pre-restart
+    q1.stop(); q1.awaitTermination()
+    val q2 = start()
+    try {
+      mem.addData(secondDocs); q2.processAllAvailable()
+      val pairs = buf.synchronized(buf.toSeq)
+        .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+        .distinct.sorted
+      pairs shouldBe Seq((0L, 1L))
+      // batch twin over the full feed reports the same single pair
+      CorpusIngest.nearDupPairs((firstDocs ++ secondDocs).toDS()).collect()
+        .map(p => (p.a_id, p.b_id)).distinct.sorted.toSeq shouldBe pairs
+    } finally q2.stop()
+  }
+
   test("windowed monitor sketch cells survive a checkpoint restart") {
     implicit val sqlCtx = spark.sqlContext
     // reuse the session fixture's bursty arrivals; windows are 1 day so
