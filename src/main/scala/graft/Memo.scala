@@ -39,16 +39,25 @@ object Memo {
     // purge entries whose session is gone — their checkpointed RDDs are
     // unusable and the references would pin the stopped session
     m.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    m.computeIfAbsent((s, key), { _ =>
-      val before = s.sparkContext.getPersistentRDDs.keySet
-      val v = f
-      // everything the build persisted (its localCheckpoints) is what
-      // later consumers read — pin it against per-query Cleanup. Builds
-      // run sequentially in the harness, so the diff is not racy there;
-      // a concurrent caller at worst over-pins a transient.
-      val added = s.sparkContext.getPersistentRDDs.keySet.diff(before)
-      Entry(v, added.toSet)
-    }).value.asInstanceOf[T]
+    val k = (s, key)
+    val hit = m.get(k)
+    if (hit != null) return hit.value.asInstanceOf[T]
+    // Compute OUTSIDE the map's lock, then first-writer-wins: several
+    // builders are themselves memo consumers (kCoreShared →
+    // coOccurEdgesCk, lpaAssignment → weightedEdges), and a nested
+    // computeIfAbsent on one ConcurrentHashMap throws "Recursive
+    // update" whenever the two keys land in the same bin — a
+    // session-identity-hash-dependent flake. Harness builds run
+    // sequentially, so a racing duplicate build is theoretical; if it
+    // happens the loser's value is simply dropped (its blocks stay
+    // until release/session end — bounded node/edge-width frames).
+    val before = s.sparkContext.getPersistentRDDs.keySet
+    val v = f
+    // everything the build persisted (its localCheckpoints) is what
+    // later consumers read — pin it against per-query Cleanup
+    val added = s.sparkContext.getPersistentRDDs.keySet.diff(before)
+    val prev = m.putIfAbsent(k, Entry(v, added.toSet))
+    if (prev != null) prev.value.asInstanceOf[T] else v
   }
 
   /** RDD ids [[Cleanup]] must NOT unpersist for this session. */
