@@ -53,12 +53,43 @@ object Memo {
     // until release/session end — bounded node/edge-width frames).
     val before = s.sparkContext.getPersistentRDDs.keySet
     val v = f
-    // everything the build persisted (its localCheckpoints) is what
-    // later consumers read — pin it against per-query Cleanup
-    val added = s.sparkContext.getPersistentRDDs.keySet.diff(before)
-    val prev = m.putIfAbsent(k, Entry(v, added.toSet))
+    val added = s.sparkContext.getPersistentRDDs.keySet.diff(before).toSet
+    // Pin ONLY what later consumers can actually read: the checkpoint
+    // RDDs reachable from the returned frames' plans (LogicalRDD
+    // leaves), plus anything a NESTED memo build registered for itself.
+    // Everything else the build persisted is a dead per-round
+    // intermediate (old k-core/BFS/LPA round states, the rare-shingle
+    // inverted lists behind the pair frame) — free it NOW, or a full
+    // harness run accumulates orphaned MEMORY_AND_DISK blocks for the
+    // session lifetime (the round-2 problem Cleanup exists to prevent).
+    // If the value's frames cannot be extracted (unknown shape), pin
+    // everything — over-pinning is safe, freeing a live block is not.
+    val vFrames = framesOf(v)
+    val keep: Set[Int] =
+      if (vFrames.isEmpty) added
+      else vFrames.flatMap(reachableRddIds).toSet ++ pinnedRddIds(s)
+    val persisted = s.sparkContext.getPersistentRDDs
+    added.diff(keep).foreach(id =>
+      persisted.get(id).foreach(_.unpersist(blocking = false)))
+    val prev = m.putIfAbsent(k, Entry(v, added.intersect(keep)))
     if (prev != null) prev.value.asInstanceOf[T] else v
   }
+
+  /** The DataFrames inside a memo value (frame, or tuple of frames and
+    * scalars) — the roots for live-block reachability. */
+  private def framesOf(v: AnyRef): Seq[org.apache.spark.sql.DataFrame] = {
+    val parts = v match {
+      case t: Product => t.productIterator.toSeq
+      case other      => Seq(other)
+    }
+    parts.collect { case d: org.apache.spark.sql.DataFrame => d }
+  }
+
+  /** Checkpoint RDD ids a frame's plan reads (its LogicalRDD leaves). */
+  private def reachableRddIds(df: org.apache.spark.sql.DataFrame): Set[Int] =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }.toSet
 
   /** RDD ids [[Cleanup]] must NOT unpersist for this session. */
   def pinnedRddIds(s: SparkSession): Set[Int] = {
@@ -88,6 +119,17 @@ object Memo {
     }
   }
 
-  /** Test hook: drop everything (e.g. between conf-flip scenarios). */
-  private[graft] def clear(): Unit = m.clear()
+  /** Test hook: drop everything (e.g. between conf-flip scenarios) —
+    * releases each live session's pins so the blocks are freed, not
+    * stranded with no remaining handle. */
+  private[graft] def clear(): Unit = {
+    val sessions = {
+      val it = m.keySet.iterator()
+      var acc = Set.empty[SparkSession]
+      while (it.hasNext) acc += it.next()._1
+      acc
+    }
+    sessions.foreach(s => if (!s.sparkContext.isStopped) release(s))
+    m.clear()
+  }
 }

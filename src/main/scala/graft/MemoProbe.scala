@@ -2,11 +2,16 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Cold-build cost probe for the [[Memo]]-shared frames: times each
-  * builder from an empty memo at the given sf dir, so SCALE.md can state
-  * the ONE-TIME cost the per-query bench marginals exclude (min-of-reps
-  * drops the first consumer's build rep). Run:
-  * `sbt "runMain graft.MemoProbe [sfDir]"`.
+/** Cold-build cost probe for the [[Memo]]-shared frames: starting from
+  * an empty memo, times each builder IN DEPENDENCY ORDER, so each
+  * number is that builder's INCREMENTAL cost given its memoized
+  * dependencies (kCoreShared is timed after coOccurEdgesCk; bfsShared
+  * and lpaAssignment after weightedEdges) and the TOTAL is the true
+  * cold end-to-end cost of all shared builds — the one-time figure the
+  * per-query bench marginals exclude (min-of-reps drops the first
+  * consumer's build rep). A single query run alone cold pays its own
+  * dependency chain, i.e. the SUM of its builders' lines, not one
+  * line. Run: `sbt "runMain graft.MemoProbe [sfDir]"`.
   */
 object MemoProbe {
   def main(args: Array[String]): Unit = {

@@ -51,14 +51,22 @@ object Tables {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = s.conf.getOption(key)
     s.conf.set(key, "true")
-    val raw = apply(s, d, "events") // schema resolves eagerly here
-    val isNanos =
-      raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
-    if (!isNanos) prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None    => s.conf.unset(key)
+    // restore on EVERY path except a successful nanos resolve (a missing
+    // or corrupt events file, or a ts-less schema, must not strand the
+    // conf session-wide — that would silently flip later NANOS parquet
+    // reads to BIGINT instead of failing loudly)
+    var keepConf = false
+    try {
+      val raw = apply(s, d, "events") // schema resolves eagerly here
+      keepConf =
+        raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
+      normalizeTs(raw)
+    } finally {
+      if (!keepConf) prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
     }
-    normalizeTs(raw)
   }
 
   /** Schema-adaptive `ts` normalization (see [[events]]); exposed so tests

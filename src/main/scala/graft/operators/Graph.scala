@@ -473,7 +473,7 @@ object Graph {
     * conceivable in the first rounds of an aggressive k) the fallback
     * is a co-keyed join against the bucketed edge table. */
   private[graft] def peelKCore(edges: DataFrame, k: Int,
-      rounds: Int): DataFrame = kCoreRounds(edges, k, rounds)._1
+      rounds: Int): DataFrame = kCoreFixpoint(edges, k, rounds)._1
 
   /** ONE peel run serving BOTH declared k-core queries: the bounded
     * form is an exact PREFIX of the fixpoint run (rounds are
@@ -500,16 +500,10 @@ object Graph {
     * capped fixpoint ≡ the `maxRounds`-bounded form on EVERY input
     * (converged early → later rounds are no-ops; not converged → both
     * ran exactly `maxRounds`), which is what lets q_kcore_fixpoint keep
-    * an exact unrolled oracle (KCoreSpec pins the equivalence
+    * an exact unrolled oracle (GraphFixpointSpec pins the equivalence
     * differentially). */
   private[graft] def kCoreFixpoint(edges: DataFrame, k: Int,
       maxRounds: Int = 64): (DataFrame, Int) = {
-    val (fin, r, _) = kCorePeel(edges, k, maxRounds, snapAt = maxRounds)
-    (fin, r)
-  }
-
-  private def kCoreRounds(edges: DataFrame, k: Int,
-      maxRounds: Int): (DataFrame, Int) = {
     val (fin, r, _) = kCorePeel(edges, k, maxRounds, snapAt = maxRounds)
     (fin, r)
   }
@@ -605,7 +599,7 @@ object Graph {
     * user-facing form of q_kcore: peel until NO node of in-subgraph
     * degree < k remains. The oracle unrolls the cap's worth of rounds;
     * rounds after convergence are identity, so unroll == fixpoint
-    * (differentially pinned in KCoreSpec). */
+    * (differentially pinned in GraphFixpointSpec). */
   private val qKcoreFixpoint = Q("q_kcore_fixpoint", {
     val peels = (1 to kcoreFixMaxRounds).map(r =>
       s"""k$r AS MATERIALIZED (SELECT s FROM ed${r - 1} GROUP BY s
@@ -654,7 +648,7 @@ object Graph {
     * checkpointed assignments per round. A converged assignment is a
     * true fixed point of the deterministic round function, so the
     * capped fixpoint ≡ the `maxRounds`-bounded form on every input
-    * (differentially pinned in GraphSpec). */
+    * (differentially pinned in GraphFixpointSpec). */
   private[graft] def labelPropagationFixpoint(edges: DataFrame,
       maxRounds: Int = 32): (DataFrame, Int) =
     lpaLoop(edges, maxRounds, detectFix = true)
@@ -834,7 +828,7 @@ object Graph {
     * stationarity check (either event moves it), one cheap aggregate
     * over the checkpointed node-width frame per round. Converged ⇒
     * further rounds are identity, so the capped fixpoint ≡ the
-    * `maxRounds`-bounded form on every input (pinned in GraphSpec);
+    * `maxRounds`-bounded form on every input (pinned in GraphFixpointSpec);
     * that equivalence is what keeps q_bfs_reach's unrolled oracle
     * exact. */
   private[graft] def bfsFixpoint(edges: DataFrame, seeds: DataFrame,
