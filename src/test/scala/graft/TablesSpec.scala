@@ -77,6 +77,28 @@ class TablesSpec extends SparkSpec {
     ev.limit(1).count() shouldBe 1L
   }
 
+  test("events loader leaves no nanosAsLong conf residue — on success or failure") {
+    // getOption on a REGISTERED SQLConf reports its default ("false")
+    // even when no session override is set, so the observable guarantee
+    // is value-level: the conf must never be left "true" by a non-nanos
+    // read, successful or not
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    spark.conf.unset(key)
+    // success path (current non-nanos testdata): restored immediately
+    Tables.events(spark, sfDir)
+    spark.conf.get(key) shouldBe "false"
+    // failure path (missing dir): the resolve throws, and the finally
+    // must still restore — a stranded "true" would silently flip later
+    // NANOS parquet reads to BIGINT instead of failing loudly
+    intercept[Exception](Tables.events(spark, "/nonexistent-graft-dir"))
+    spark.conf.get(key) shouldBe "false"
+    // and a pre-existing explicit setting is restored, not clobbered
+    spark.conf.set(key, "false")
+    Tables.events(spark, sfDir)
+    spark.conf.get(key) shouldBe "false"
+    spark.conf.unset(key)
+  }
+
   // ---- Testdata schema canary ------------------------------------------
   // Loader-reported schemas the whole engine assumes (verified against the
   // 2026-08-13 testdata generation). `events.ts` is the one column the
