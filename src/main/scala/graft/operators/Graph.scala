@@ -121,10 +121,15 @@ object Graph {
     * the un-hinted join is the co-keyed form, not a regression. */
   private[graft] def stateHint(state: DataFrame, rows: Long,
       bytesPerRow: Long = 16L): DataFrame = {
+    // malformed conf falls back to the default rather than throwing out
+    // of plan construction; the size test divides instead of multiplying
+    // so extreme row counts cannot overflow into a spurious broadcast
     val budget = state.sparkSession.conf
-      .getOption("graft.graph.broadcastStateBytes").map(_.toLong)
+      .getOption("graft.graph.broadcastStateBytes")
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
       .getOrElse(1L << 30)
-    if (rows * bytesPerRow <= budget) broadcast(state) else state
+    val fits = bytesPerRow <= 0 || rows <= budget / bytesPerRow
+    if (fits) broadcast(state) else state
   }
 
   /** Materialize the edge/degree frames once: (e, deg, |nodes|).
@@ -140,7 +145,7 @@ object Graph {
     * [[graft.Memo]]). */
   private[graft] def edgeFrames(s: org.apache.spark.sql.SparkSession,
       d: String): (DataFrame, DataFrame, Long) =
-    graft.Memo(s, s"graph.edgeFrames:$d") { edgeFramesBuild(s, d) }
+    graft.Memo(s, s"graph.edgeFrames:$d", d) { edgeFramesBuild(s, d) }
 
   private def edgeFramesBuild(s: org.apache.spark.sql.SparkSession,
       d: String): (DataFrame, DataFrame, Long) = {
@@ -163,6 +168,13 @@ object Graph {
   private[graft] def pagerankRanks(s: org.apache.spark.sql.SparkSession,
       d: String, nIters: Int): DataFrame = {
     val (e, deg, n) = edgeFrames(s, d)
+    pagerankRanksOn(e, deg, n, nIters)
+  }
+
+  /** The bounded rank loop on explicit frames (testable on synthetic
+    * graphs; [[pagerankFixpoint]] must equal it at the round it stopped). */
+  private[graft] def pagerankRanksOn(e: DataFrame, deg: DataFrame, n: Long,
+      nIters: Int): DataFrame = {
     var pr: DataFrame = deg.select(col("src").as("node"),
       (lit(1.0) / n).as("pr"))
     for (i <- 1 to nIters) {
@@ -178,6 +190,52 @@ object Graph {
       if (i < nIters) pr = pr.localCheckpoint(true)
     }
     pr
+  }
+
+  /** Engine-exact L1 rank movement between two node-width rank frames,
+    * in 10⁻¹² quanta: Σ|round((prᵢ₊₁ − prᵢ)·10¹²)| summed as BIGINT —
+    * order-free integer addition, so the convergence probe reads the
+    * same number under any partitioning or join strategy (the
+    * quantized-contribution discipline the loops already use). One
+    * node-width join + one scalar aggregate per probe. */
+  private def rankDelta12(prev: DataFrame, next: DataFrame, n: Long): Long =
+    next.select(col("node"), col("pr").as("npr"))
+      .join(stateHint(prev.select(col("node"), col("pr").as("ppr")), n),
+        "node")
+      .agg(coalesce(sum(abs(
+        round((col("npr") - col("ppr")) * 1000000000000L).cast("long"))),
+        lit(0L)).as("d"))
+      .head().getLong(0)
+
+  /** Converge-and-stop PageRank (round-9 verdict ask #3, completing the
+    * fixpoint family begun with k-core/LPA/BFS): iterate
+    * [[rankIteration]] until the quantized L1 rank delta drops below
+    * `eps`, capped at `maxRounds`. Returns (ranks, rounds run).
+    *
+    * The library contract mirrors the reference's own convergence idiom
+    * (mahout-samsara-book BFGS.scala:48 stops on ‖∇f‖ < ε): the capped
+    * fixpoint ≡ the `nIters`-bounded form AT THE ROUND IT STOPPED —
+    * every round is the same engine-exact [[rankIteration]], so
+    * (fixpoint ranks, r) is bit-identical to [[pagerankRanksOn]](…, r)
+    * whether the ε-probe or the cap fired (pinned differentially in
+    * GraphFixpointSpec). The declared queries keep their fixed
+    * 5-iteration form — oracle determinism — and the convergence probe
+    * costs one node-width join + scalar aggregate per round on top of
+    * the loop's existing exchange budget. */
+  private[graft] def pagerankFixpoint(e: DataFrame, deg: DataFrame, n: Long,
+      eps: Double, maxRounds: Int): (DataFrame, Int) = {
+    val budget12 = math.round(eps * 1e12)
+    var pr: DataFrame = deg.select(col("src").as("node"),
+      (lit(1.0) / n).as("pr"))
+    var r = 0
+    var converged = false
+    while (r < maxRounds && !converged) {
+      val next = rankIteration(e, deg, pr, n).localCheckpoint(true)
+      r += 1
+      if (rankDelta12(pr, next, n) < budget12) converged = true
+      pr = next
+    }
+    (pr, r)
   }
 
   private val qPagerank = Q("q_pagerank",
@@ -212,23 +270,58 @@ object Graph {
     val isSeed = col("node") < supplierOffset && col("node") % 100 === 0
     val nSeeds = deg.select(col("src").as("node")).where(isSeed).count()
     val reset = when(isSeed, lit(1.0) / nSeeds).otherwise(lit(0.0))
+    pprRanksOn(e, deg, n, reset, nIters)
+  }
+
+  /** One personalized-rank iteration: the contribution aggregate plus a
+    * node-width left join re-applying the reset expression (a pure
+    * function of the node id — no per-iteration seed join). */
+  private def pprIteration(e: DataFrame, deg: DataFrame, pr: DataFrame,
+      n: Long, reset: org.apache.spark.sql.Column): DataFrame = {
+    val contrib = e.join(stateHint(pr, n), col("src") === col("node"))
+      .join(stateHint(deg, n), "src")
+      .select(col("dst"),
+        round(col("pr") / col("outdeg") * 1000000000000L).cast("long")
+          .as("c"))
+      .groupBy("dst").agg(sum("c").as("sc"))
+    deg.select(col("src").as("node"))
+      .join(contrib, col("node") === col("dst"), "left")
+      .select(col("node"),
+        (lit(0.15) * reset +
+          lit(0.85) * (coalesce(col("sc"), lit(0L)) / 1000000000000.0))
+          .as("pr"))
+  }
+
+  /** Bounded personalized-rank loop on explicit frames; `reset` is the
+    * restart distribution as a column expression over `node`. */
+  private[graft] def pprRanksOn(e: DataFrame, deg: DataFrame, n: Long,
+      reset: org.apache.spark.sql.Column, nIters: Int): DataFrame = {
     var pr: DataFrame = deg.select(col("src").as("node"), reset.as("pr"))
     for (i <- 1 to nIters) {
-      val contrib = e.join(stateHint(pr, n), col("src") === col("node"))
-        .join(stateHint(deg, n), "src")
-        .select(col("dst"),
-          round(col("pr") / col("outdeg") * 1000000000000L).cast("long")
-            .as("c"))
-        .groupBy("dst").agg(sum("c").as("sc"))
-      pr = deg.select(col("src").as("node"))
-        .join(contrib, col("node") === col("dst"), "left")
-        .select(col("node"),
-          (lit(0.15) * reset +
-            lit(0.85) * (coalesce(col("sc"), lit(0L)) / 1000000000000.0))
-            .as("pr"))
+      pr = pprIteration(e, deg, pr, n, reset)
       if (i < nIters) pr = pr.localCheckpoint(true)
     }
     pr
+  }
+
+  /** Converge-and-stop personalized PageRank — same contract as
+    * [[pagerankFixpoint]]: stops when the quantized L1 rank delta drops
+    * below `eps` or at `maxRounds`; (ranks, r) ≡ [[pprRanksOn]](…, r)
+    * bit-identically on every input (GraphFixpointSpec). */
+  private[graft] def pprFixpoint(e: DataFrame, deg: DataFrame, n: Long,
+      reset: org.apache.spark.sql.Column, eps: Double,
+      maxRounds: Int): (DataFrame, Int) = {
+    val budget12 = math.round(eps * 1e12)
+    var pr: DataFrame = deg.select(col("src").as("node"), reset.as("pr"))
+    var r = 0
+    var converged = false
+    while (r < maxRounds && !converged) {
+      val next = pprIteration(e, deg, pr, n, reset).localCheckpoint(true)
+      r += 1
+      if (rankDelta12(pr, next, n) < budget12) converged = true
+      pr = next
+    }
+    (pr, r)
   }
 
   private def pprIterSql(i: Int): String =
@@ -285,7 +378,7 @@ object Graph {
     * q_kcore_fixpoint) — see [[graft.Memo]]. */
   private[graft] def coOccurEdgesCk(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame =
-    graft.Memo(s, s"graph.coOccurEdges:$d") {
+    graft.Memo(s, s"graph.coOccurEdges:$d", d) {
       coOccurEdges(s, d).localCheckpoint(true)
     }
 
@@ -327,7 +420,7 @@ object Graph {
     * checkpointed frame, so the corpus scan never replays. */
   private[graft] def weightedEdges(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame =
-    graft.Memo(s, s"graph.weightedEdges:$d:$lpaMinW") {
+    graft.Memo(s, s"graph.weightedEdges:$d:$lpaMinW", d) {
       val pr = coOccurWeighted(s, d, lpaMinW)
       pr.select(col("p1").as("s"), col("p2").as("t"), col("w"))
         .union(pr.select(col("p2"), col("p1"), col("w")))
@@ -483,7 +576,7 @@ object Graph {
     * Memoized per (session, dir) like the other shared builds. */
   private[graft] def kCoreShared(s: org.apache.spark.sql.SparkSession,
       d: String): (DataFrame, DataFrame) =
-    graft.Memo(s, s"graph.kcoreShared:$d") {
+    graft.Memo(s, s"graph.kcoreShared:$d", d) {
       val e = coOccurEdgesCk(s, d)
         .select(col("p1").as("s"), col("p2").as("t"))
       val (fin, _, snap) =
@@ -694,7 +787,7 @@ object Graph {
     * both consumers read directly. */
   private[graft] def lpaAssignment(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame =
-    graft.Memo(s, s"graph.lpaAssignment:$d:$lpaRounds") {
+    graft.Memo(s, s"graph.lpaAssignment:$d:$lpaRounds", d) {
       labelPropagation(weightedEdges(s, d), lpaRounds)
     }
 
@@ -885,7 +978,7 @@ object Graph {
     * [[bfsFixMaxRounds]]); memoized per (session, dir). */
   private[graft] def bfsShared(s: org.apache.spark.sql.SparkSession,
       d: String): (DataFrame, DataFrame) =
-    graft.Memo(s, s"graph.bfsShared:$d") {
+    graft.Memo(s, s"graph.bfsShared:$d", d) {
       val e = weightedEdges(s, d).select(col("s"), col("t"))
       val seeds = e.select(col("s").as("n"))
         .where(col("n") % 199 === 0).distinct()

@@ -36,7 +36,7 @@ object TextQueries {
     * every downstream stage from it. */
   private[graft] def tfMatrix(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame =
-    graft.Memo(s, s"text.tfMatrix:$d") {
+    graft.Memo(s, s"text.tfMatrix:$d", d) {
       TextFns.tokens(Tables.documents(s, d))
         .groupBy("doc_id", "lang", "term").agg(count(lit(1)).as("tf"))
         .localCheckpoint(true)

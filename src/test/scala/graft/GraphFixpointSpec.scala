@@ -98,6 +98,73 @@ class GraphFixpointSpec extends SparkSpec {
     coreMap(capped).keySet shouldBe (1L to 4L).toSet
   }
 
+  /** (e, deg, n) the rank loops consume, built exactly like
+    * Graph.edgeFramesBuild from a symmetrized pair list. */
+  private def rankFrames(pairs: Seq[(Long, Long)]): (DataFrame, DataFrame, Long) = {
+    val e = und(pairs).toDF("src", "dst").localCheckpoint(true)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
+    (e, deg, deg.count())
+  }
+
+  private def rankMap(df: DataFrame): Map[Long, Double] =
+    df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("PageRank fixpoint: uniform rank is stationary on a regular graph — stops after one round") {
+    // K4: every node has outdeg 3, so the uniform init is the exact
+    // stationary distribution; the quantized L1 delta is 0 after round 1
+    val (e, deg, n) = rankFrames(
+      for (a <- 1L to 4L; b <- a + 1 to 4L) yield (a, b))
+    val (pr, rounds) = Graph.pagerankFixpoint(e, deg, n, eps = 1e-9,
+      maxRounds = 64)
+    rounds shouldBe 1
+    // capped fixpoint == the bounded form at the round it stopped
+    rankMap(pr) shouldBe rankMap(Graph.pagerankRanksOn(e, deg, n, 1))
+    rankMap(pr).values.foreach(_ shouldBe 0.25 +- 1e-12)
+  }
+
+  test("PageRank fixpoint: ε-probe fires mid-run on an asymmetric graph, == bounded at that round") {
+    // K4 + pendant path (the caterpillar): rank keeps sloshing between
+    // the clique and the tail, decaying ~0.85^r — the probe must stop
+    // the loop strictly between round 1 and the cap
+    val (e, deg, n) = rankFrames(
+      (for (a <- 1L to 4L; b <- a + 1 to 4L) yield (a, b)) ++
+        Seq((4L, 5L), (5L, 6L)))
+    val (pr, rounds) = Graph.pagerankFixpoint(e, deg, n, eps = 5e-3,
+      maxRounds = 64)
+    rounds should be > 1
+    rounds should be < 64
+    rankMap(pr) shouldBe rankMap(Graph.pagerankRanksOn(e, deg, n, rounds))
+  }
+
+  test("PageRank fixpoint with a binding cap == the bounded form at the cap") {
+    val (e, deg, n) = rankFrames(Seq((1L, 2L), (2L, 3L), (3L, 4L)))
+    // eps = 0 can never fire (the delta is non-negative): the cap binds
+    val (pr, rounds) = Graph.pagerankFixpoint(e, deg, n, eps = 0.0,
+      maxRounds = 3)
+    rounds shouldBe 3
+    rankMap(pr) shouldBe rankMap(Graph.pagerankRanksOn(e, deg, n, 3))
+  }
+
+  test("PPR fixpoint: stationary seed distribution stops after one round, == bounded") {
+    // single edge, both endpoints seeds at reset 1/2: pr stays (.5, .5)
+    val (e, deg, n) = rankFrames(Seq((1L, 2L)))
+    val reset = when(col("node") <= 2, lit(0.5)).otherwise(lit(0.0))
+    val (pr, rounds) = Graph.pprFixpoint(e, deg, n, reset, eps = 1e-9,
+      maxRounds = 16)
+    rounds shouldBe 1
+    rankMap(pr) shouldBe rankMap(Graph.pprRanksOn(e, deg, n, reset, 1))
+  }
+
+  test("PPR fixpoint with a binding cap == the bounded form at the cap") {
+    val (e, deg, n) = rankFrames(Seq((1L, 2L), (2L, 3L), (3L, 4L)))
+    val reset = when(col("node") === 1, lit(1.0)).otherwise(lit(0.0))
+    val (pr, rounds) = Graph.pprFixpoint(e, deg, n, reset, eps = 0.0,
+      maxRounds = 3)
+    rounds shouldBe 3
+    rankMap(pr) shouldBe rankMap(Graph.pprRanksOn(e, deg, n, reset, 3))
+  }
+
   private def countBhj(df: DataFrame): Int = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec

@@ -35,4 +35,46 @@ class MemoSpec extends SparkSpec {
     builds shouldBe 2
     Memo.release(spark)
   }
+
+  test("a regenerated data directory invalidates the entry: stale pins freed, value rebuilt") {
+    Memo.clear(); Cleanup(spark)
+    val dir = java.nio.file.Files.createTempDirectory("memo-fp").toFile
+    try {
+      def write(rows: Int): Unit =
+        spark.range(rows).select(col("id"), (col("id") * 3).as("v"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(new java.io.File(dir, "t.parquet").getPath)
+      write(100)
+      var builds = 0
+      def frame() = Memo(spark, "memospec.fp", dir.getPath) {
+        builds += 1
+        spark.read.parquet(new java.io.File(dir, "t.parquet").getPath)
+          .localCheckpoint(true)
+      }
+      val a = frame()
+      a.count() shouldBe 100
+      val stalePins = Memo.pinnedRddIds(spark)
+      stalePins should not be empty
+      // unchanged dir → memo hit, same value, no rebuild
+      (frame() eq a) shouldBe true
+      builds shouldBe 1
+      // pinned-bytes accounting sees the checkpointed blocks
+      Memo.pinnedBytes(spark) should be > 0L
+      // REGENERATE the table (round-6 incident shape: same path, new
+      // bytes) — the next call must rebuild, not serve the stale frame
+      write(250)
+      val b = frame()
+      builds shouldBe 2
+      b.count() shouldBe 250
+      // and the stale build's pins were released with the entry
+      val live = spark.sparkContext.getPersistentRDDs.keySet
+      stalePins.foreach(id => live should not contain id)
+    } finally {
+      Memo.release(spark)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir)
+    }
+  }
 }

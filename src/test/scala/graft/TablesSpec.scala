@@ -99,6 +99,26 @@ class TablesSpec extends SparkSpec {
     spark.conf.unset(key)
   }
 
+  test("events loader: a plain-BIGINT ts generation strands no conf either") {
+    import spark.implicits._
+    // A bare BIGINT ts resolves to LongType with or without nanosAsLong —
+    // the ambiguous case the loader must NOT mistake for nanos-encoded
+    // (that mistake left the conf set for the session lifetime). The
+    // restored-conf re-probe resolves fine here, so no residue remains.
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val dir = tmp("graft-bigint-ts")
+    Seq((1L, micros * 1000L + 789L)).toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    spark.conf.unset(key)
+    val ev = Tables.events(spark, dir)
+    spark.conf.get(key) shouldBe "false"
+    // the long column still flows through the documented nanos-as-long
+    // normalization (units of a bare BIGINT are unknowable; nanos is the
+    // one generation that ever shipped as long)
+    ev.schema("ts").dataType shouldBe TimestampType
+    ev.select(unix_micros($"ts")).as[Long].head() shouldBe micros
+  }
+
   // ---- Testdata schema canary ------------------------------------------
   // Loader-reported schemas the whole engine assumes (verified against the
   // 2026-08-13 testdata generation). `events.ts` is the one column the
@@ -141,19 +161,34 @@ class TablesSpec extends SparkSpec {
       case n        => (s, d) => Tables(s, d, n)
     }
 
-  for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
-    test(s"canary: all 10 tables at $sf load with the expected schema and ≥1 row") {
-      val dir = s"/root/testdata/$sf"
-      for (name <- Tables.names) {
-        val df = loaderOf(name)(spark, dir)
-        val got = df.schema.fields.map(f => f.name -> f.dataType).toSeq
-        withClue(s"$sf/$name schema drift: ") {
-          got shouldBe expected(name)
-        }
-        withClue(s"$sf/$name unreadable: ") {
-          df.limit(1).count() shouldBe 1L
-        }
+  private def assertCanary(sf: String, dir: String): Unit =
+    for (name <- Tables.names) {
+      val df = loaderOf(name)(spark, dir)
+      val got = df.schema.fields.map(f => f.name -> f.dataType).toSeq
+      withClue(s"$sf/$name schema drift: ") {
+        got shouldBe expected(name)
+      }
+      withClue(s"$sf/$name unreadable: ") {
+        df.limit(1).count() shouldBe 1L
       }
     }
+
+  for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+    test(s"canary: all 10 tables at $sf load with the expected schema and ≥1 row") {
+      assertCanary(sf, s"/root/testdata/$sf")
+    }
+  }
+
+  // The sf1 scale evidence comes from tools/make_sf.py synth output — it
+  // must keep the DRIVER testdata's physical encodings (most critically
+  // events.ts: the synth writes what it read, but a rewrite of make_sf.py
+  // could silently re-encode and diverge from what the canary above
+  // pins). Canceled (not passed) when the synth dir is absent, so a
+  // plain `sbt test` run stays meaningful without the 10× generation.
+  test("canary: synth-sf1 output (tools/make_sf.py) keeps the driver testdata schemas") {
+    val dir = sys.env.getOrElse("GRAFT_SYNTH_DIR", "/tmp/sf1")
+    assume(new java.io.File(s"$dir/events.parquet").exists(),
+      s"synth dir $dir absent — python3 tools/make_sf.py /root/testdata/sf0.1 $dir 10")
+    assertCanary("synth-sf1", dir)
   }
 }
