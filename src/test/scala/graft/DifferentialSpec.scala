@@ -158,4 +158,36 @@ class DifferentialSpec extends SparkSpec {
     // int8 cosine barely perturbs ranking: within 5pp of the float path
     mSq should be >= mFloat - 0.05
   }
+
+  test("embed near-dup dispatch: both sides of the crossover produce the identical verdict frame") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.PipelineQueries
+    def verdicts(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    // boundary regime (τ=0.4, natural corpus, n=500 — measured exact for
+    // the dense LSH point): force the dispatch to each side of the
+    // crossover via the override conf and compare verdicts
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        graft.functions.TextFns.toDoubleArray(col("embedding")).as("vec"))
+    val n = emb.count()
+    val key = "graft.dedup.embedBruteMaxRows"
+    try {
+      spark.conf.set(key, (n + 1).toString) // below crossover → brute
+      val brute = verdicts(PipelineQueries.embedNearDup(spark, emb, n, 0.4))
+      spark.conf.set(key, "0")              // above crossover → LSH
+      val lsh = verdicts(PipelineQueries.embedNearDup(spark, emb, n, 0.4))
+      brute.nonEmpty shouldBe true
+      lsh shouldBe brute
+    } finally spark.conf.unset(key)
+
+    // production regime (τ=0.9, twin-augmented): the dispatch always
+    // takes LSH (crossover 0); it must equal the brute baseline exactly
+    val aug = PipelineQueries.twinAugmented(spark, sfDir)
+    val hiBrute = verdicts(PipelineQueries.embedNearDupBrute(aug, 0.9))
+    val hiDispatch = verdicts(PipelineQueries.embedNearDup(spark, aug, 2 * n, 0.9))
+    hiBrute.nonEmpty shouldBe true
+    hiDispatch shouldBe hiBrute
+  }
 }
