@@ -311,15 +311,15 @@ object TextQueries {
        |  FROM cnt)
        |SELECT lang, CAST(rank AS BIGINT) AS rank, sh, cnt
        |FROM r WHERE rank <= 20 ORDER BY lang, rank""".stripMargin) { (s, d) =>
-    val k = 3
     val arr = filter(split(TextFns.normalize(col("text")), " "),
       t => length(t) > 0)
-    val n = size(col("a")) - (k - 1)
-    val grams = when(n >= 1, transform(sequence(lit(1), n),
-      i => concat_ws(" ", (0 until k).map(o => element_at(col("a"), i + o)): _*)))
+    // native codegen'd k-gram kernel (byte-identical to the former
+    // interpreted transform(sequence)/element_at chain — see
+    // ArrayExprs.Shingles)
     val cnt = Tables.documents(s, d)
       .select(col("lang"), arr.as("a"))
-      .select(col("lang"), explode(grams).as("sh"))
+      .select(col("lang"),
+        explode(graft.functions.ArrayExprs.shingles(col("a"), 3)).as("sh"))
       .groupBy("lang", "sh").agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("sh"))
     cnt.withColumn("rank", row_number().over(w).cast("long"))
