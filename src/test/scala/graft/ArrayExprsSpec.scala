@@ -59,4 +59,36 @@ class ArrayExprsSpec extends SparkSpec {
       .select(ArrayExprs.sortedIntersect(col("a"), col("b"))).collect()
     e.head.getSeq[Long](0) shouldBe Seq.empty
   }
+
+  /** The HOF formula graft_shingles replaced (TextFns.shinglesOf pre
+    * round 10) — kept here as the equivalence reference. */
+  private def hofShingles(a: org.apache.spark.sql.Column, k: Int) = {
+    val n = org.apache.spark.sql.functions.size(a) - (k - 1)
+    when(n >= 1, transform(sequence(lit(1), n),
+      i => concat_ws(" ", (0 until k).map(o => element_at(a, i + o)): _*)))
+  }
+
+  test("graft_shingles equals the HOF k-gram form, including short-array null") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "b", "gamma9", "x", "delta", "ee")
+    val rows = (1L to 60L).map { id =>
+      // lengths 0..11 — covers n < k (null), n == k (one gram), long
+      (id, Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))))
+    }
+    val df = rows.toDF("id", "a")
+    for (k <- Seq(2, 3, 8)) {
+      val got = df.select(col("id"),
+        ArrayExprs.shingles(col("a"), k).as("native"),
+        hofShingles(col("a"), k).as("hof")).collect()
+      got.foreach { r =>
+        withClue(s"k=$k id=${r.getLong(0)}: ") {
+          Option(r.getSeq[String](1)) shouldBe Option(r.getSeq[String](2))
+        }
+      }
+    }
+    // explode semantics: short docs contribute zero rows, not nulls
+    df.select(col("id"), explode(ArrayExprs.shingles(col("a"), 3)).as("sh"))
+      .where(col("sh").isNull).count() shouldBe 0L
+  }
 }
