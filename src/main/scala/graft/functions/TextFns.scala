@@ -28,6 +28,16 @@ object TextFns {
   def normalize(text: Column): Column =
     regexp_replace(lower(text), "[^a-z0-9]+", " ")
 
+  /** Normalized token array with empties dropped — the shared front of
+    * every text scan. `array_remove(arr, "")` is exactly the former
+    * `filter(arr, t => length(t) > 0)` (split yields no nulls, and for
+    * strings length>0 ≡ ≠ ""), but ArrayRemove is a codegen'd collection
+    * expression while the `filter` higher-order function runs interpreted
+    * per element — same reasoning as the [[ArrayExprs.shingles]] kernel:
+    * keep the whole tokenize→shingle chain inside WholeStageCodegen. */
+  def tokenArr(text: Column): Column =
+    array_remove(split(normalize(text), " "), "")
+
   /** documents → (doc_id, lang, term, pos) with 1-based positions, empties
     * dropped. Narrow op — no shuffle; tokenization streams inside the
     * scan stage. */
@@ -61,8 +71,7 @@ object TextFns {
     * (O(tokens·k·token_len)) before explode — bounded for web-scale docs
     * (MBs); split pathological multi-hundred-MB documents upstream. */
   def shinglesOf(docs: DataFrame, k: Int = 3): DataFrame = {
-    val arr = filter(split(normalize(col("text")), " "),
-      t => length(t) > 0)
+    val arr = tokenArr(col("text"))
     // native k-gram kernel ([[ArrayExprs.shingles]]): the former
     // transform(sequence)/element_at/concat_ws HOF chain ran interpreted
     // at 2.7 s/sf1 scan; the expression emits byte-identical grams

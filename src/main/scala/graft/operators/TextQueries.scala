@@ -260,8 +260,7 @@ object TextQueries {
     val terms = Seq("vector", "hash", "scan")
     val k1 = lit(1.2)
     val b = lit(0.75)
-    val arr = filter(split(TextFns.normalize(col("text")), " "),
-      t => length(t) > 0)
+    val arr = TextFns.tokenArr(col("text"))
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
       size(filter(col("a"), x => x === lit(t))).cast("long").as(s"tf$i")
     }
@@ -311,8 +310,7 @@ object TextQueries {
        |  FROM cnt)
        |SELECT lang, CAST(rank AS BIGINT) AS rank, sh, cnt
        |FROM r WHERE rank <= 20 ORDER BY lang, rank""".stripMargin) { (s, d) =>
-    val arr = filter(split(TextFns.normalize(col("text")), " "),
-      t => length(t) > 0)
+    val arr = TextFns.tokenArr(col("text"))
     // native codegen'd k-gram kernel (byte-identical to the former
     // interpreted transform(sequence)/element_at chain — see
     // ArrayExprs.Shingles)
@@ -350,8 +348,7 @@ object TextQueries {
        |  ROUND(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT doc_id), 6)
        |    AS mean_doc_tokens
        |FROM tok GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
-    val arr = filter(split(TextFns.normalize(col("text")), " "),
-      t => length(t) > 0)
+    val arr = TextFns.tokenArr(col("text"))
     Tables.documents(s, d)
       .select(col("doc_id"), col("source"), explode(arr).as("term"))
       .groupBy("source")

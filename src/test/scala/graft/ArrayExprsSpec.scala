@@ -91,4 +91,28 @@ class ArrayExprsSpec extends SparkSpec {
     df.select(col("id"), explode(ArrayExprs.shingles(col("a"), 3)).as("sh"))
       .where(col("sh").isNull).count() shouldBe 0L
   }
+
+  test("tokenArr equals the filter-HOF tokenizer it replaced") {
+    import spark.implicits._
+    // adversarial boundaries: leading/trailing punctuation (the only
+    // producers of empty tokens post-normalize), all-punct, empty, and
+    // unicode that the [a-z0-9] class strips entirely
+    val texts = Seq(
+      "Hello, World!", "!!leading", "trailing??", "  ", "", "a",
+      "¡uni¢ode text", "42 is the answer.", "a--b__c  d",
+      "ALL CAPS AND 123", ".", "x!", "!x", "!x!", "a b c d e f g")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val hof = filter(
+      split(graft.functions.TextFns.normalize(col("text")), " "),
+      t => org.apache.spark.sql.functions.length(t) > 0)
+    val got = df.select(col("id"),
+      graft.functions.TextFns.tokenArr(col("text")).as("native"),
+      hof.as("hof")).collect()
+    got.foreach { r =>
+      withClue(s"id=${r.getLong(0)}: ") {
+        r.getSeq[String](1) shouldBe r.getSeq[String](2)
+      }
+    }
+  }
 }

@@ -406,6 +406,28 @@ class ScaleTechniquesSpec extends SparkSpec {
     plan should not include "Window"
   }
 
+  test("text tokenize→shingle chains carry no interpreted higher-order function") {
+    // Higher-order functions (ArrayFilter/ArrayTransform) evaluate
+    // interpreted — each one in a corpus scan is a per-token lambda
+    // invocation charged to EVERY text consumer. The round-10 kernels
+    // (ArrayExprs.shingles, TextFns.tokenArr's array_remove) exist to
+    // keep these chains codegen'd; any HOF shows up in the physical plan
+    // as `lambdafunction(...)`, so its absence pins the property.
+    val pipe = (graft.operators.PipelineQueries.all ++
+      graft.operators.TextQueries.all).map(q => q.name -> q).toMap
+    val shingled = graft.functions.TextFns.shinglesOf(
+      Tables.documents(spark, sfDir))
+    withClue("shinglesOf plan:") {
+      shingled.queryExecution.executedPlan.toString should
+        not include "lambdafunction"
+    }
+    for (n <- Seq("q_token_count", "q_top_ngrams", "q_lm_score",
+        "q_heavy_hitters")) {
+      val plan = pipe(n).fn(spark, sfDir).queryExecution.executedPlan.toString
+      withClue(s"$n plan:") { plan should not include "lambdafunction" }
+    }
+  }
+
   test("partitioned parquet write enables partition pruning on read") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("part_tbl").toString + "/li"
