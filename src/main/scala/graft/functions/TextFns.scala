@@ -95,6 +95,10 @@ object TextFns {
   def dot(a: Column, b: Column): Column = ArrayExprs.dot(a, b)
 
   /** ARRAY<FLOAT> → ARRAY<DOUBLE> (widen before arithmetic so both engines
-    * compute in double). */
-  def toDoubleArray(c: Column): Column = transform(c, x => x.cast("double"))
+    * compute in double). A whole-array `Cast` — codegen'd elementwise
+    * float→double widening, unlike the `transform(_, _.cast("double"))`
+    * HOF it replaced, which invoked an interpreted lambda per element in
+    * every embedding scan (8 call sites, incl. the hot dedup-embed/ANN
+    * family). Bit-identical: both lower to the same per-element Cast. */
+  def toDoubleArray(c: Column): Column = c.cast("array<double>")
 }

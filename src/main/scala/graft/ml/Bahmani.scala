@@ -227,7 +227,7 @@ object Bahmani {
     import spark.implicits._
     graft.Tables.embeddings(spark, sfDir)
       .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("vec"))
+        graft.functions.TextFns.toDoubleArray(col("embedding")).as("vec"))
       .as[(Long, Array[Double])]
       .map { case (id, v) => Point(id, v) }
   }

@@ -262,7 +262,10 @@ object TextQueries {
     val b = lit(0.75)
     val arr = TextFns.tokenArr(col("text"))
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
-      size(filter(col("a"), x => x === lit(t))).cast("long").as(s"tf$i")
+      // occurrence count without the interpreted filter-HOF: tokens are
+      // non-null, so |{x = t}| = |a| − |array_remove(a, t)| (codegen'd)
+      (size(col("a")) - size(array_remove(col("a"), t)))
+        .cast("long").as(s"tf$i")
     }
     val base = Tables.documents(s, d)
       .select(col("doc_id"), arr.as("a"))

@@ -92,6 +92,50 @@ class ArrayExprsSpec extends SparkSpec {
       .where(col("sh").isNull).count() shouldBe 0L
   }
 
+  test("toDoubleArray (array cast) equals the transform-HOF widening it replaced") {
+    import spark.implicits._
+    // float→double widening is exact for every float; adversarial values:
+    // signed zero, denormal, extremes, values with no short decimal form
+    val vecs = Seq(
+      Array(0.0f, -0.0f, 1.0f, -1.0f),
+      Array(Float.MinPositiveValue, Float.MaxValue, -Float.MaxValue),
+      Array(0.1f, 0.3f, 1.0f / 3.0f, 1e-20f, 3.4e38f),
+      Array.empty[Float])
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "embedding")
+    val got = df.select(col("id"),
+      graft.functions.TextFns.toDoubleArray(col("embedding")).as("native"),
+      transform(col("embedding"), x => x.cast("double")).as("hof")).collect()
+    got.foreach { r =>
+      val a = r.getSeq[Double](1)
+      val b = r.getSeq[Double](2)
+      withClue(s"id=${r.getLong(0)}: ") {
+        a.length shouldBe b.length
+        a.zip(b).foreach { case (x, y) =>
+          java.lang.Double.doubleToRawLongBits(x) shouldBe
+            java.lang.Double.doubleToRawLongBits(y)
+        }
+      }
+    }
+  }
+
+  test("abs-max via greatest(array_max, -array_min) equals transform(abs)") {
+    import spark.implicits._
+    val vecs = Seq(
+      Array(0.5, -2.5, 1.0), Array(-3.0, -1.0), Array(2.0, 7.0),
+      Array(0.0, -0.0), Array(1e-300, -1e300), Array(42.0))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    val got = df.select(col("id"),
+      greatest(array_max(col("v")), -array_min(col("v"))).as("native"),
+      array_max(transform(col("v"), x => abs(x))).as("hof")).collect()
+    got.foreach { r =>
+      withClue(s"id=${r.getLong(0)}: ") {
+        r.getDouble(1) shouldBe r.getDouble(2)
+      }
+    }
+  }
+
   test("tokenArr equals the filter-HOF tokenizer it replaced") {
     import spark.implicits._
     // adversarial boundaries: leading/trailing punctuation (the only
