@@ -42,6 +42,13 @@ import org.apache.spark.sql.SparkSession
   * files, new mtimes), not a byte-identical rewrite with preserved
   * mtimes, which no cheap listing can see.
   *
+  * Footprint contract: `graft.memo.maxPinnedBytes` (unset = unlimited,
+  * the harness default) bounds the pinned working set — exceeding it
+  * evicts least-recently-used entries (their blocks unpersisted; a
+  * later call rebuilds), so an embedding application streaming many
+  * datasets through one session cannot grow executor storage without
+  * bound. [[pinnedBytes]] publishes the current figure.
+  *
   * Concurrency contract: builds and the [[Cleanup]] sweep are expected
   * to run sequentially WITHIN one SparkContext (the harness and the
   * forked test JVM are both single-session sequential). The build-time
@@ -54,9 +61,18 @@ import org.apache.spark.sql.SparkSession
   */
 object Memo {
   private final case class Entry(value: AnyRef, rddIds: Set[Int],
-      fingerprint: Long)
+      fingerprint: Long) {
+    // recency stamp for the byte-budget eviction order; mutated under
+    // the single-threaded build discipline the concurrency contract
+    // already requires, so a plain volatile is enough.
+    @volatile var lastUse: Long = 0L
+  }
 
   private val m = new ConcurrentHashMap[(SparkSession, String), Entry]
+
+  // monotonic use counter (NOT wall time: two uses in one millisecond
+  // must still order) — drives least-recently-used eviction.
+  private val useTick = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Bounded-depth listing digest of a data directory: file count, max
     * mtime, and total bytes folded into one Long. Depth 3 covers
@@ -103,7 +119,10 @@ object Memo {
     val k = (s, key)
     val hit = m.get(k)
     if (hit != null) {
-      if (hit.fingerprint == fp) return hit.value.asInstanceOf[T]
+      if (hit.fingerprint == fp) {
+        hit.lastUse = useTick.incrementAndGet()
+        return hit.value.asInstanceOf[T]
+      }
       // data under the key's directory changed since the build: the
       // memoized frames describe bytes that no longer exist — release
       // the stale pins and fall through to a rebuild
@@ -141,8 +160,53 @@ object Memo {
     val persisted = s.sparkContext.getPersistentRDDs
     added.diff(keep).foreach(id =>
       persisted.get(id).foreach(_.unpersist(blocking = false)))
-    val prev = m.putIfAbsent(k, Entry(v, added.intersect(keep), fp))
-    if (prev != null) prev.value.asInstanceOf[T] else v
+    val entry = Entry(v, added.intersect(keep), fp)
+    entry.lastUse = useTick.incrementAndGet()
+    val prev = m.putIfAbsent(k, entry)
+    val out = if (prev != null) prev.value.asInstanceOf[T] else v
+    enforceBudget(s, k)
+    out
+  }
+
+  /** Optional pinned-byte budget: `graft.memo.maxPinnedBytes` (unset =
+    * unlimited, the harness default — its whole working set is ~8
+    * bounded builds). When the context's pinned storage exceeds the
+    * budget, evict least-recently-USED entries of this context — never
+    * the entry just touched — unpersisting their blocks; a later call
+    * for an evicted key simply rebuilds (the same path a fingerprint
+    * change takes). This bounds the memo's executor-storage footprint
+    * for an embedding application that streams many datasets through
+    * one session; it deliberately may leave the budget exceeded when a
+    * SINGLE live entry is larger than the budget (evicting the entry in
+    * use would thrash every call).
+    */
+  private def enforceBudget(s: SparkSession,
+      justUsed: (SparkSession, String)): Unit = {
+    val budget = s.conf.getOption("graft.memo.maxPinnedBytes")
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+    if (budget.isEmpty) return
+    val persisted = s.sparkContext.getPersistentRDDs
+    def bytes: Long = pinnedBytes(s)
+    if (bytes <= budget.get) return
+    // same-context entries, least recently used first, sparing justUsed
+    val victims = {
+      val it = m.entrySet().iterator()
+      var acc = List.empty[((SparkSession, String), Entry)]
+      while (it.hasNext) {
+        val e = it.next()
+        if ((e.getKey._1.sparkContext eq s.sparkContext) &&
+            e.getKey != justUsed)
+          acc = (e.getKey -> e.getValue) :: acc
+      }
+      acc.sortBy(_._2.lastUse)
+    }
+    val vi = victims.iterator
+    while (bytes > budget.get && vi.hasNext) {
+      val (vk, ve) = vi.next()
+      ve.rddIds.foreach(id =>
+        persisted.get(id).foreach(_.unpersist(blocking = true)))
+      m.remove(vk, ve)
+    }
   }
 
   /** The DataFrames inside a memo value (frame, or tuple of frames and

@@ -235,6 +235,61 @@ case class Shingles(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Occurrence count of a value in an ARRAY<STRING> column — the per-term
+  * tf kernel of BM25 scoring (TextQueries.qBm25: one count per query
+  * term per document, straight off the shared token array).
+  *
+  * The HOF form `size(filter(a, x -> x = t))` runs interpreted; the
+  * codegen'd identity `size(a) − size(array_remove(a, t))` fixes that
+  * but COPIES the whole token array per term per row just to take the
+  * copy's length — measured 2.67 → 3.62 s on q_bm25 at sf1, i.e. the
+  * allocation cost exceeded the interpretation cost it removed. This
+  * expression is the form both approximate: one bare comparison loop,
+  * zero allocation, inside WholeStageCodegen. Null elements count as
+  * non-matching (token arrays are null-free in practice); null array or
+  * null needle → null (both composed forms agree).
+  */
+case class CountValue(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(StringType), StringType)
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_count_eq"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val t = b.asInstanceOf[UTF8String]
+    val n = x.numElements()
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && t.equals(x.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, t) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      s"""
+         |int $n = $x.numElements();
+         |long $c = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$x.isNullAt($i) && $t.equals($x.getUTF8String($i))) $c++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): CountValue = copy(newLeft, newRight)
+}
+
 object ArrayExprs {
   /** Column-level dot product over two ARRAY<DOUBLE> columns. */
   def dot(a: Column, b: Column): Column =
@@ -249,4 +304,9 @@ object ArrayExprs {
   /** Space-joined k-grams of an ARRAY<STRING> token column. */
   def shingles(a: Column, k: Int): Column =
     ColumnOps.column(Shingles(ColumnOps.expression(a), k))
+
+  /** Occurrence count of `v` in an ARRAY<STRING> column (zero-alloc). */
+  def countEq(a: Column, v: Column): Column =
+    ColumnOps.column(CountValue(ColumnOps.expression(a),
+      ColumnOps.expression(v)))
 }

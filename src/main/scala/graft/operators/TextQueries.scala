@@ -239,8 +239,9 @@ object TextQueries {
     * counterpart of the TF-IDF weighting the reference builds for
     * classification (NaiveBayesServlet.scala:90-101). Plan shape for
     * 100 TB: ONE narrow corpus scan computes per-doc length and
-    * per-query-term tf straight off the token array (`size(filter(...))`
-    * — no explode, no token-level shuffle); corpus statistics (N, avgdl,
+    * per-query-term tf straight off the token array (codegen'd
+    * `graft_count_eq` — no explode, no token-level shuffle); corpus
+    * statistics (N, avgdl,
     * per-term df) reduce to a single broadcast row; scoring is then a
     * second narrow pass over the same scan. Zero wide exchanges — the
     * only shuffle in the plan is the 1-row statistics aggregate. */
@@ -262,10 +263,10 @@ object TextQueries {
     val b = lit(0.75)
     val arr = TextFns.tokenArr(col("text"))
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
-      // occurrence count without the interpreted filter-HOF: tokens are
-      // non-null, so |{x = t}| = |a| − |array_remove(a, t)| (codegen'd)
-      (size(col("a")) - size(array_remove(col("a"), t)))
-        .cast("long").as(s"tf$i")
+      // zero-alloc codegen'd occurrence count (graft_count_eq): the
+      // array_remove size identity it replaces copied the token array
+      // per term per doc — allocation the counting loop doesn't need
+      graft.functions.ArrayExprs.countEq(col("a"), lit(t)).as(s"tf$i")
     }
     val base = Tables.documents(s, d)
       .select(col("doc_id"), arr.as("a"))

@@ -159,4 +159,41 @@ class ArrayExprsSpec extends SparkSpec {
       }
     }
   }
+
+  test("graft_count_eq equals both composed counting forms it replaced") {
+    import spark.implicits._
+    // boundaries: absent needle, repeated needle, needle as every
+    // element, empty array, null elements (count as non-matching in all
+    // three forms: filter's x = t is null-false, array_remove retains
+    // nulls so the size difference skips them too)
+    val df = Seq(
+      (1L, Seq[String]("a", "b", "a", "c", "a")),
+      (2L, Seq[String]("b", "c")),
+      (3L, Seq[String]("a", "a")),
+      (4L, Seq.empty[String]),
+      (5L, Seq[String]("a", null, "a", null))
+    ).toDF("id", "a")
+    val needle = lit("a")
+    val F = org.apache.spark.sql.functions
+    val got = df.select(col("id"),
+      ArrayExprs.countEq(col("a"), needle).as("native"),
+      F.size(F.filter(col("a"),
+        (t: org.apache.spark.sql.Column) => t === needle))
+        .cast("long").as("hof"),
+      (F.size(col("a")) - F.size(array_remove(col("a"), "a")))
+        .cast("long").as("removeid")).collect()
+    got.foreach { r =>
+      withClue(s"id=${r.getLong(0)}: ") {
+        r.getLong(1) shouldBe r.getLong(2)
+        r.getLong(1) shouldBe r.getLong(3)
+      }
+    }
+    // null array and null needle → null, like both composed forms
+    val nulls = Seq((1L, null: Seq[String])).toDF("id", "a")
+      .select(ArrayExprs.countEq(col("a"), needle).as("n1"),
+        ArrayExprs.countEq(lit(Array("a")), lit(null: String)).as("n2"))
+      .collect().head
+    nulls.isNullAt(0) shouldBe true
+    nulls.isNullAt(1) shouldBe true
+  }
 }

@@ -77,4 +77,39 @@ class MemoSpec extends SparkSpec {
       rm(dir)
     }
   }
+
+  test("pinned-byte budget evicts least-recently-used entries, never the one in use") {
+    Memo.clear(); Cleanup(spark)
+    def build(key: String) = Memo(spark, key) {
+      spark.range(200000).select(col("id"), (col("id") * 2).as("v"))
+        .localCheckpoint(true)
+    }
+    try {
+      val a = build("memospec.bud.a")
+      val pinsAfterA = Memo.pinnedRddIds(spark)
+      val b = build("memospec.bud.b")
+      val bPins = Memo.pinnedRddIds(spark).diff(pinsAfterA)
+      bPins should not be empty
+      val perEntry = Memo.pinnedBytes(spark) / 2
+      perEntry should be > 0L
+      // touch a so b is the least recently used
+      (build("memospec.bud.a") eq a) shouldBe true
+      // budget that fits TWO entries: the third build must evict exactly
+      // the LRU entry (b), keeping a (recently used) and c (just built)
+      spark.conf.set("graft.memo.maxPinnedBytes", (perEntry * 2).toString)
+      val c = build("memospec.bud.c")
+      // a survived (recently used) and still serves from the memo...
+      (build("memospec.bud.a") eq a) shouldBe true
+      // ...c survived (just built)...
+      (build("memospec.bud.c") eq c) shouldBe true
+      // ...and b was evicted: its blocks are gone from the block manager
+      // and rebuilding yields a NEW frame
+      val live = spark.sparkContext.getPersistentRDDs.keySet
+      bPins.foreach(id => live should not contain id)
+      (build("memospec.bud.b") eq b) shouldBe false
+    } finally {
+      spark.conf.unset("graft.memo.maxPinnedBytes")
+      Memo.release(spark)
+    }
+  }
 }
