@@ -67,7 +67,16 @@ object Bench {
       if (args.nonEmpty) -1.0
       else {
         val t0 = System.nanoTime()
-        MemoProbe.builders(spark, sfDir).foreach(_._2())
+        // per-builder isolation: one failing shared build must not abort
+        // the bench with no artifact — the affected queries then pay (or
+        // fail) their own builds inside timeOne, which already records -1
+        // and ships the artifact with the failure listed
+        MemoProbe.builders(spark, sfDir).foreach { case (name, b) =>
+          try b() catch { case e: Throwable =>
+            System.err.println(s"[bench] shared build $name failed: " +
+              e.getMessage)
+          }
+        }
         math.rint((System.nanoTime() - t0) / 1e7) / 100
       }
     // optional args = subset of query names (local iteration), run in ARG

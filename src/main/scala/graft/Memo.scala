@@ -74,11 +74,21 @@ object Memo {
   // must still order) — drives least-recently-used eviction.
   private val useTick = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  // never-repeating sentinel for a fingerprint listing that failed
+  // mid-walk: unique per failure, so it matches neither a stored digest
+  // nor a previously stored sentinel — the access rebuilds, which is the
+  // correct response to a directory that is being rewritten right now.
+  private val fpFail = new java.util.concurrent.atomic.AtomicLong(-1L)
+
   /** Bounded-depth listing digest of a data directory: file count, max
     * mtime, and total bytes folded into one Long. Depth 3 covers
     * `<dir>/<table>.parquet[/part-files]` for both the driver's
-    * single-file tables and directory-shaped parquet output. */
-  private[graft] def fingerprint(dir: String): Long = {
+    * single-file tables and directory-shaped parquet output. A walk that
+    * fails mid-listing (a part-file deleted between enumerate and stat —
+    * exactly the regeneration-in-progress scenario the fingerprint
+    * exists for) yields a unique sentinel instead of throwing, forcing
+    * a rebuild rather than failing the calling query. */
+  private[graft] def fingerprint(dir: String): Long = try {
     val root = java.nio.file.Paths.get(dir)
     if (!java.nio.file.Files.exists(root)) return 0L
     var count = 0L; var maxM = 0L; var bytes = 0L
@@ -95,6 +105,9 @@ object Memo {
     } finally stream.close()
     (count * 1000003L) ^ java.lang.Long.rotateLeft(maxM, 17) ^
       java.lang.Long.rotateLeft(bytes, 41)
+  } catch {
+    case _: java.io.UncheckedIOException | _: java.io.IOException =>
+      fpFail.getAndDecrement()
   }
 
   /** Memoize a frame (or tuple of frames) with no backing data
@@ -126,10 +139,7 @@ object Memo {
       // data under the key's directory changed since the build: the
       // memoized frames describe bytes that no longer exist — release
       // the stale pins and fall through to a rebuild
-      val persisted = s.sparkContext.getPersistentRDDs
-      hit.rddIds.foreach(id =>
-        persisted.get(id).foreach(_.unpersist(blocking = false)))
-      m.remove(k, hit)
+      releaseEntry(s, k, hit, blocking = false)
     }
     // Compute OUTSIDE the map's lock, then first-writer-wins: several
     // builders are themselves memo consumers (kCoreShared →
@@ -185,7 +195,6 @@ object Memo {
     val budget = s.conf.getOption("graft.memo.maxPinnedBytes")
       .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
     if (budget.isEmpty) return
-    val persisted = s.sparkContext.getPersistentRDDs
     def bytes: Long = pinnedBytes(s)
     if (bytes <= budget.get) return
     // same-context entries, least recently used first, sparing justUsed
@@ -203,10 +212,27 @@ object Memo {
     val vi = victims.iterator
     while (bytes > budget.get && vi.hasNext) {
       val (vk, ve) = vi.next()
-      ve.rddIds.foreach(id =>
-        persisted.get(id).foreach(_.unpersist(blocking = true)))
-      m.remove(vk, ve)
+      releaseEntry(s, vk, ve, blocking = true)
     }
+  }
+
+  /** Remove `e` from the memo and unpersist ONLY the blocks no surviving
+    * entry still pins. Composite entries CO-PIN their nested
+    * dependencies' checkpoints (a build's `added ∩ keep` includes ids a
+    * nested memo build registered for itself — lpaAssignment's entry
+    * carries weightedEdges' checkpoint id), so unpersisting a victim's
+    * full id set would destroy blocks a still-live sibling entry serves:
+    * its next hit would return a lineage-truncated frame whose blocks
+    * are gone. Remove-then-diff makes every release path (fingerprint
+    * invalidation, budget eviction, session release) safe against shared
+    * pins. */
+  private def releaseEntry(s: SparkSession, k: (SparkSession, String),
+      e: Entry, blocking: Boolean): Unit = {
+    m.remove(k, e)
+    val survivors = pinnedRddIds(s)
+    val persisted = s.sparkContext.getPersistentRDDs
+    e.rddIds.diff(survivors).foreach(id =>
+      persisted.get(id).foreach(_.unpersist(blocking)))
   }
 
   /** The DataFrames inside a memo value (frame, or tuple of frames and
@@ -257,14 +283,17 @@ object Memo {
     * calls this at dataset boundaries; the harness never needs it (its
     * memo dies with the session). */
   def release(s: SparkSession): Unit = {
-    val persisted = s.sparkContext.getPersistentRDDs
     val it = m.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       if (e.getKey._1 eq s) {
-        e.getValue.rddIds.foreach(id =>
-          persisted.get(id).foreach(_.unpersist(blocking = false)))
         it.remove()
+        // diff AFTER removal: a sibling session of the same context may
+        // co-pin this entry's checkpoints (see releaseEntry)
+        val survivors = pinnedRddIds(s)
+        val persisted = s.sparkContext.getPersistentRDDs
+        e.getValue.rddIds.diff(survivors).foreach(id =>
+          persisted.get(id).foreach(_.unpersist(blocking = false)))
       }
     }
   }

@@ -223,14 +223,26 @@ object Graph {
     * costs one node-width join + scalar aggregate per round on top of
     * the loop's existing exchange budget. */
   private[graft] def pagerankFixpoint(e: DataFrame, deg: DataFrame, n: Long,
-      eps: Double, maxRounds: Int): (DataFrame, Int) = {
+      eps: Double, maxRounds: Int): (DataFrame, Int) =
+    rankFixpoint(
+      deg.select(col("src").as("node"), (lit(1.0) / n).as("pr")),
+      pr => rankIteration(e, deg, pr, n), n, eps, maxRounds)
+
+  /** The converge-and-stop loop both rank fixpoints share (they differ
+    * only in init frame and step function): iterate `step` from `init`
+    * until the quantized L1 delta ([[rankDelta12]]) drops below `eps`,
+    * capped at `maxRounds`; every round's frame is checkpointed so the
+    * probe and the next step read materialized state. One loop body
+    * means a probe or cadence change cannot silently apply to one rank
+    * family and not the other. */
+  private def rankFixpoint(init: DataFrame, step: DataFrame => DataFrame,
+      n: Long, eps: Double, maxRounds: Int): (DataFrame, Int) = {
     val budget12 = math.round(eps * 1e12)
-    var pr: DataFrame = deg.select(col("src").as("node"),
-      (lit(1.0) / n).as("pr"))
+    var pr = init
     var r = 0
     var converged = false
     while (r < maxRounds && !converged) {
-      val next = rankIteration(e, deg, pr, n).localCheckpoint(true)
+      val next = step(pr).localCheckpoint(true)
       r += 1
       if (rankDelta12(pr, next, n) < budget12) converged = true
       pr = next
@@ -310,19 +322,9 @@ object Graph {
     * bit-identically on every input (GraphFixpointSpec). */
   private[graft] def pprFixpoint(e: DataFrame, deg: DataFrame, n: Long,
       reset: org.apache.spark.sql.Column, eps: Double,
-      maxRounds: Int): (DataFrame, Int) = {
-    val budget12 = math.round(eps * 1e12)
-    var pr: DataFrame = deg.select(col("src").as("node"), reset.as("pr"))
-    var r = 0
-    var converged = false
-    while (r < maxRounds && !converged) {
-      val next = pprIteration(e, deg, pr, n, reset).localCheckpoint(true)
-      r += 1
-      if (rankDelta12(pr, next, n) < budget12) converged = true
-      pr = next
-    }
-    (pr, r)
-  }
+      maxRounds: Int): (DataFrame, Int) =
+    rankFixpoint(deg.select(col("src").as("node"), reset.as("pr")),
+      pr => pprIteration(e, deg, pr, n, reset), n, eps, maxRounds)
 
   private def pprIterSql(i: Int): String =
     s"""c$i AS MATERIALIZED (SELECT e.dst,

@@ -90,6 +90,26 @@ class ArrayExprsSpec extends SparkSpec {
     // explode semantics: short docs contribute zero rows, not nulls
     df.select(col("id"), explode(ArrayExprs.shingles(col("a"), 3)).as("sh"))
       .where(col("sh").isNull).count() shouldBe 0L
+    // null ELEMENTS: the scaladoc claims concat_ws semantics (nulls
+    // skipped by the separator join) — pin that against the HOF form,
+    // which uses concat_ws itself, on arrays containing nulls at the
+    // edge and interior (token arrays are null-free in practice; this
+    // pins the documented contract, not a production path)
+    val withNulls = Seq(
+      (1L, Seq[String]("a", null, "b", "c")),
+      (2L, Seq[String](null, "x", "y")),
+      (3L, Seq[String]("p", "q", null)),
+      (4L, Seq[String](null, null, "z"))
+    ).toDF("id", "a")
+    for (k <- Seq(2, 3)) {
+      withNulls.select(col("id"),
+        ArrayExprs.shingles(col("a"), k).as("native"),
+        hofShingles(col("a"), k).as("hof")).collect().foreach { r =>
+        withClue(s"nulls k=$k id=${r.getLong(0)}: ") {
+          Option(r.getSeq[String](1)) shouldBe Option(r.getSeq[String](2))
+        }
+      }
+    }
   }
 
   test("toDoubleArray (array cast) equals the transform-HOF widening it replaced") {

@@ -112,4 +112,48 @@ class MemoSpec extends SparkSpec {
       Memo.release(spark)
     }
   }
+
+  test("evicting a composite entry spares blocks a surviving entry co-pins") {
+    // Composite entries record their nested dependencies' checkpoint ids
+    // too (added ∩ keep includes what a NESTED memo build registered —
+    // lpaAssignment's entry carries weightedEdges' checkpoint). Evicting
+    // the composite must not unpersist the dependency's blocks while the
+    // dependency's own entry survives: its frames are lineage-truncated
+    // LogicalRDD leaves and would be unrecomputable.
+    Memo.clear(); Cleanup(spark)
+    def inner() = Memo(spark, "memospec.copin.inner") {
+      spark.range(200000).select(col("id"), (col("id") * 5).as("v"))
+        .localCheckpoint(true)
+    }
+    try {
+      // outer nested-builds inner, so outer.rddIds co-pins inner's blocks
+      val (innerF, outerF) = Memo(spark, "memospec.copin.outer") {
+        val in = inner()
+        (in, in.select(col("id"), (col("v") + 1).as("w"))
+          .localCheckpoint(true))
+      }
+      outerF.count() shouldBe 200000L
+      // touch inner so OUTER is the LRU victim when the budget bites
+      (inner() eq innerF) shouldBe true
+      // two distinct checkpoints pinned so far (inner's, outer's own);
+      // budget fits ~2.5 of the three about to exist, so exactly ONE
+      // eviction (the LRU = outer) brings it under
+      val perEntry = Memo.pinnedBytes(spark) / 2
+      perEntry should be > 0L
+      spark.conf.set("graft.memo.maxPinnedBytes",
+        (perEntry * 5 / 2).toString)
+      // a third, unrelated build trips enforceBudget → outer is evicted
+      Memo(spark, "memospec.copin.other") {
+        spark.range(200000).select(col("id"), (col("id") * 7).as("v"))
+          .localCheckpoint(true)
+      }
+      // inner's entry survived AND its blocks are still readable: the
+      // memoized lineage-truncated frame must still count
+      (inner() eq innerF) shouldBe true
+      innerF.count() shouldBe 200000L
+    } finally {
+      spark.conf.unset("graft.memo.maxPinnedBytes")
+      Memo.release(spark)
+    }
+  }
 }
