@@ -119,7 +119,7 @@ object Graph {
     * right deployment pre-buckets the edge table on the join key
     * (ScaleTechniquesSpec pins that layout consumes exchange-free), so
     * the un-hinted join is the co-keyed form, not a regression. */
-  private[graft] def stateHint(state: DataFrame, rows: Long,
+  def stateHint(state: DataFrame, rows: Long,
       bytesPerRow: Long = 16L): DataFrame = {
     // malformed conf falls back to the default rather than throwing out
     // of plan construction; the size test divides instead of multiplying
@@ -173,7 +173,7 @@ object Graph {
 
   /** The bounded rank loop on explicit frames (testable on synthetic
     * graphs; [[pagerankFixpoint]] must equal it at the round it stopped). */
-  private[graft] def pagerankRanksOn(e: DataFrame, deg: DataFrame, n: Long,
+  def pagerankRanksOn(e: DataFrame, deg: DataFrame, n: Long,
       nIters: Int): DataFrame = {
     var pr: DataFrame = deg.select(col("src").as("node"),
       (lit(1.0) / n).as("pr"))
@@ -222,7 +222,7 @@ object Graph {
     * 5-iteration form — oracle determinism — and the convergence probe
     * costs one node-width join + scalar aggregate per round on top of
     * the loop's existing exchange budget. */
-  private[graft] def pagerankFixpoint(e: DataFrame, deg: DataFrame, n: Long,
+  def pagerankFixpoint(e: DataFrame, deg: DataFrame, n: Long,
       eps: Double, maxRounds: Int): (DataFrame, Int) =
     rankFixpoint(
       deg.select(col("src").as("node"), (lit(1.0) / n).as("pr")),
@@ -306,7 +306,7 @@ object Graph {
 
   /** Bounded personalized-rank loop on explicit frames; `reset` is the
     * restart distribution as a column expression over `node`. */
-  private[graft] def pprRanksOn(e: DataFrame, deg: DataFrame, n: Long,
+  def pprRanksOn(e: DataFrame, deg: DataFrame, n: Long,
       reset: org.apache.spark.sql.Column, nIters: Int): DataFrame = {
     var pr: DataFrame = deg.select(col("src").as("node"), reset.as("pr"))
     for (i <- 1 to nIters) {
@@ -320,7 +320,7 @@ object Graph {
     * [[pagerankFixpoint]]: stops when the quantized L1 rank delta drops
     * below `eps` or at `maxRounds`; (ranks, r) ≡ [[pprRanksOn]](…, r)
     * bit-identically on every input (GraphFixpointSpec). */
-  private[graft] def pprFixpoint(e: DataFrame, deg: DataFrame, n: Long,
+  def pprFixpoint(e: DataFrame, deg: DataFrame, n: Long,
       reset: org.apache.spark.sql.Column, eps: Double,
       maxRounds: Int): (DataFrame, Int) =
     rankFixpoint(deg.select(col("src").as("node"), reset.as("pr")),
@@ -567,7 +567,7 @@ object Graph {
     * edge rewrite, ever. Beyond broadcast (removed set ≥ ~10⁸ — only
     * conceivable in the first rounds of an aggressive k) the fallback
     * is a co-keyed join against the bucketed edge table. */
-  private[graft] def peelKCore(edges: DataFrame, k: Int,
+  def peelKCore(edges: DataFrame, k: Int,
       rounds: Int): DataFrame = kCoreFixpoint(edges, k, rounds)._1
 
   /** ONE peel run serving BOTH declared k-core queries: the bounded
@@ -597,7 +597,7 @@ object Graph {
     * ran exactly `maxRounds`), which is what lets q_kcore_fixpoint keep
     * an exact unrolled oracle (GraphFixpointSpec pins the equivalence
     * differentially). */
-  private[graft] def kCoreFixpoint(edges: DataFrame, k: Int,
+  def kCoreFixpoint(edges: DataFrame, k: Int,
       maxRounds: Int = 64): (DataFrame, Int) = {
     val (fin, r, _) = kCorePeel(edges, k, maxRounds, snapAt = maxRounds)
     (fin, r)
@@ -733,7 +733,7 @@ object Graph {
     * Per-round localCheckpoint keeps plan depth O(1). Beyond broadcast
     * (|V| ≥ ~10⁸) the state join falls back to the co-keyed
     * bucketed-edge layout pinned in ScaleTechniquesSpec. */
-  private[graft] def labelPropagation(edges: DataFrame,
+  def labelPropagation(edges: DataFrame,
       rounds: Int): DataFrame = lpaLoop(edges, rounds, detectFix = false)._1
 
   /** Synchronous LPA to FIXPOINT (no label changes), capped at
@@ -744,7 +744,7 @@ object Graph {
     * true fixed point of the deterministic round function, so the
     * capped fixpoint ≡ the `maxRounds`-bounded form on every input
     * (differentially pinned in GraphFixpointSpec). */
-  private[graft] def labelPropagationFixpoint(edges: DataFrame,
+  def labelPropagationFixpoint(edges: DataFrame,
       maxRounds: Int = 32): (DataFrame, Int) =
     lpaLoop(edges, maxRounds, detectFix = true)
 
@@ -877,7 +877,7 @@ object Graph {
     * symmetrized weighted edge list `e`(s, t, w) — see [[qModularity]]'s
     * scaladoc for the exact-integer discipline. Factored so the
     * synthetic-graph spec pins the closed-form values. */
-  private[graft] def modularityTerms(e: DataFrame,
+  def modularityTerms(e: DataFrame,
       lbl: DataFrame): DataFrame = {
     val nNodes = lbl.count()
     val wdeg = e.groupBy(col("s").as("n")).agg(sum("w").as("wd"))
@@ -911,7 +911,7 @@ object Graph {
     * edge scan; each round is one map-side-combined min aggregate.
     * Identical loop shape to [[peelKCore]]; per-round localCheckpoint,
     * bucketed-edge fallback beyond broadcast. */
-  private[graft] def bfsHops(edges: DataFrame, seeds: DataFrame,
+  def bfsHops(edges: DataFrame, seeds: DataFrame,
       rounds: Int): DataFrame =
     bfsLoop(edges, seeds, rounds, detectFix = false)._1
 
@@ -926,7 +926,7 @@ object Graph {
     * `maxRounds`-bounded form on every input (pinned in GraphFixpointSpec);
     * that equivalence is what keeps q_bfs_reach's unrolled oracle
     * exact. */
-  private[graft] def bfsFixpoint(edges: DataFrame, seeds: DataFrame,
+  def bfsFixpoint(edges: DataFrame, seeds: DataFrame,
       maxRounds: Int = 64): (DataFrame, Int) =
     bfsLoop(edges, seeds, maxRounds, detectFix = true)
 
