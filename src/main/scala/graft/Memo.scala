@@ -32,22 +32,26 @@ import org.apache.spark.sql.SparkSession
   * their own sessions never collide.
   *
   * Staleness contract: entries built over a testdata directory carry a
-  * cheap driver-side FINGERPRINT of that directory (parquet file count +
-  * max mtime + total bytes, one bounded listing) taken at build time; a
-  * later call with the same key rebuilds — releasing the stale pins —
-  * when the fingerprint no longer matches, so a regenerated directory
-  * cannot serve stale frames mid-session (round-6's silent testdata
-  * regeneration is the documented precedent). The fingerprint is a
-  * change DETECTOR, not a content hash: it catches regeneration (new
-  * files, new mtimes), not a byte-identical rewrite with preserved
-  * mtimes, which no cheap listing can see.
+  * cheap driver-side FINGERPRINT of that directory (an order-free XOR
+  * of per-file (path, size, mtime) hashes, one bounded listing) taken
+  * at build time; a later call with the same key rebuilds — releasing
+  * the stale pins — when the fingerprint no longer matches, so a
+  * regenerated directory cannot serve stale frames mid-session
+  * (round-6's silent testdata regeneration is the documented
+  * precedent). The fingerprint is a change DETECTOR, not a content
+  * hash: it catches any regeneration that renames, resizes, or
+  * re-stamps at least one file, not a byte-identical rewrite with
+  * preserved names/sizes/mtimes, which no cheap listing can see.
   *
   * Footprint contract: `graft.memo.maxPinnedBytes` (unset = unlimited,
   * the harness default) bounds the pinned working set — exceeding it
   * evicts least-recently-used entries (their blocks unpersisted; a
   * later call rebuilds), so an embedding application streaming many
   * datasets through one session cannot grow executor storage without
-  * bound. [[pinnedBytes]] publishes the current figure.
+  * bound. With the conf UNSET, the first crossing of half the nominal
+  * storage pool logs one WARN naming the conf ([[warnIfUnbounded]]) —
+  * loud, but advisory only. [[pinnedBytes]] publishes the current
+  * figure.
   *
   * Concurrency contract: builds and the [[Cleanup]] sweep are expected
   * to run sequentially WITHIN one SparkContext (the harness and the
@@ -75,36 +79,55 @@ object Memo {
   private val useTick = new java.util.concurrent.atomic.AtomicLong(0L)
 
   // never-repeating sentinel for a fingerprint listing that failed
-  // mid-walk: unique per failure, so it matches neither a stored digest
-  // nor a previously stored sentinel — the access rebuilds, which is the
-  // correct response to a directory that is being rewritten right now.
+  // mid-walk: unique per failure AND disjoint from the digest value
+  // space by construction (sentinels are the negative longs, counting
+  // down from −1; legitimate digests mask the sign bit off), so it can
+  // match neither a stored digest nor a previously stored sentinel —
+  // the access rebuilds, which is the correct response to a directory
+  // that is being rewritten right now.
   private val fpFail = new java.util.concurrent.atomic.AtomicLong(-1L)
 
-  /** Bounded-depth listing digest of a data directory: file count, max
-    * mtime, and total bytes folded into one Long. Depth 3 covers
-    * `<dir>/<table>.parquet[/part-files]` for both the driver's
-    * single-file tables and directory-shaped parquet output. A walk that
-    * fails mid-listing (a part-file deleted between enumerate and stat —
-    * exactly the regeneration-in-progress scenario the fingerprint
-    * exists for) yields a unique sentinel instead of throwing, forcing
-    * a rebuild rather than failing the calling query. */
+  /** splitmix64 finalizer — the per-file mixer for [[fingerprint]]. */
+  private def mix64(x0: Long): Long = {
+    var x = x0
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** Bounded-depth listing digest of a data directory: every file's
+    * (path, size, mtime) tuple mixed to 64 bits (splitmix64) and XOR'd
+    * into one order-free Long — one bounded listing, but unlike an
+    * aggregate-stats fold (count + max mtime + total bytes, the
+    * round-10 form) a regeneration that preserves the aggregates
+    * (bytes moving between files, mtime-preserving copies, coarse-mtime
+    * filesystems inside one granularity tick) still flips the digest
+    * unless every individual file's tuple survives. Masked
+    * non-negative so the value space is disjoint from the negative
+    * failure sentinels. Depth 3 covers `<dir>/<table>.parquet
+    * [/part-files]` for both the driver's single-file tables and
+    * directory-shaped parquet output. A walk that fails mid-listing (a
+    * part-file deleted between enumerate and stat — exactly the
+    * regeneration-in-progress scenario the fingerprint exists for)
+    * yields a unique sentinel instead of throwing, forcing a rebuild
+    * rather than failing the calling query. */
   private[graft] def fingerprint(dir: String): Long = try {
     val root = java.nio.file.Paths.get(dir)
     if (!java.nio.file.Files.exists(root)) return 0L
-    var count = 0L; var maxM = 0L; var bytes = 0L
+    var acc = 0L
     val stream = java.nio.file.Files.walk(root, 3)
     try {
       stream.forEach { p =>
         val f = p.toFile
         if (f.isFile) {
-          count += 1
-          maxM = math.max(maxM, f.lastModified())
-          bytes += f.length()
+          val h = mix64(mix64(mix64(
+            root.relativize(p).toString.hashCode.toLong ^
+              0x9e3779b97f4a7c15L) ^ f.length()) ^ f.lastModified())
+          acc ^= h
         }
       }
     } finally stream.close()
-    (count * 1000003L) ^ java.lang.Long.rotateLeft(maxM, 17) ^
-      java.lang.Long.rotateLeft(bytes, 41)
+    acc & Long.MaxValue // tag bit: digests ≥ 0, failure sentinels < 0
   } catch {
     case _: java.io.UncheckedIOException | _: java.io.IOException =>
       fpFail.getAndDecrement()
@@ -194,8 +217,11 @@ object Memo {
       justUsed: (SparkSession, String)): Unit = {
     val budget = s.conf.getOption("graft.memo.maxPinnedBytes")
       .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
-    if (budget.isEmpty) return
     def bytes: Long = pinnedBytes(s)
+    if (budget.isEmpty) {
+      warnIfUnbounded(s, bytes)
+      return
+    }
     if (bytes <= budget.get) return
     // same-context entries, least recently used first, sparing justUsed
     val victims = {
@@ -215,6 +241,46 @@ object Memo {
       releaseEntry(s, vk, ve, blocking = true)
     }
   }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  // warn-once latch per context for the unbounded-memo advisory
+  private val warnedContexts = java.util.Collections.newSetFromMap(
+    new ConcurrentHashMap[org.apache.spark.SparkContext, java.lang.Boolean])
+
+  /** With `graft.memo.maxPinnedBytes` unset the memo is unbounded — the
+    * right default for the harness, whose whole working set is ~8
+    * bounded builds, but a footgun for an embedding application
+    * streaming many datasets through one session (round-11 ask #5). The
+    * first time this context's pinned bytes cross HALF the nominal
+    * storage pool (process max heap × `spark.memory.fraction` ×
+    * `spark.memory.storageFraction` — exact in local mode where the
+    * driver heap IS the cluster memory, an order-of-magnitude proxy on
+    * a real cluster whose executors size differently), one WARN names
+    * the conf to set. Advisory only: nothing is evicted and harness
+    * behavior is unchanged. Returns whether THIS call warned (the
+    * first-crossing latch MemoSpec pins). */
+  private[graft] def warnIfUnbounded(s: SparkSession, bytes: Long): Boolean = {
+    if (warnedContexts.contains(s.sparkContext)) return false
+    def fracConf(key: String, dflt: Double): Double = s.conf.getOption(key)
+      .flatMap(v => scala.util.Try(v.trim.toDouble).toOption).getOrElse(dflt)
+    val pool = (Runtime.getRuntime.maxMemory *
+      fracConf("spark.memory.fraction", 0.6) *
+      fracConf("spark.memory.storageFraction", 0.5)).toLong
+    val warn = bytes > pool / 2 && warnedContexts.add(s.sparkContext)
+    if (warn)
+      log.warn(s"graft.Memo pins $bytes bytes of materialized frames " +
+        s"with no graft.memo.maxPinnedBytes budget set — past half the " +
+        s"nominal storage pool ($pool bytes). Long-lived sessions that " +
+        s"stream many datasets should set graft.memo.maxPinnedBytes " +
+        s"(LRU eviction) or call Memo.release(session) at dataset " +
+        s"boundaries.")
+    warn
+  }
+
+  /** Test hook: forget which contexts already got the unbounded-memo
+    * advisory (so a spec can assert the first-crossing semantics). */
+  private[graft] def resetWarnLatch(): Unit = warnedContexts.clear()
 
   /** Remove `e` from the memo and unpersist ONLY the blocks no surviving
     * entry still pins. Composite entries CO-PIN their nested

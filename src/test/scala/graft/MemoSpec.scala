@@ -113,6 +113,51 @@ class MemoSpec extends SparkSpec {
     }
   }
 
+  test("fingerprint folds per-file identity: aggregate-preserving rewrites flip it") {
+    // round-10 advisor: a fold of aggregate stats (count, max mtime,
+    // total bytes) misses regenerations that preserve the aggregates.
+    // The per-file XOR digest must flip when bytes merely MOVE between
+    // files, and its value space must stay disjoint from the negative
+    // failure sentinels (tag-bit contract).
+    val dir = java.nio.file.Files.createTempDirectory("memo-fp2").toFile
+    try {
+      def put(name: String, bytes: Int, mtime: Long): Unit = {
+        val f = new java.io.File(dir, name)
+        java.nio.file.Files.write(f.toPath, Array.fill[Byte](bytes)(7))
+        f.setLastModified(mtime)
+      }
+      val t = (System.currentTimeMillis() / 1000) * 1000 // whole seconds:
+      // survives coarse-mtime filesystems, so the mtimes below are EQUAL
+      // before and after the rewrite by construction
+      put("a.parquet", 100, t); put("b.parquet", 200, t)
+      val fp1 = Memo.fingerprint(dir.getPath)
+      fp1 should be >= 0L
+      // same file count, same total bytes, same mtimes — only the split
+      // between the two files changes
+      put("a.parquet", 200, t); put("b.parquet", 100, t)
+      val fp2 = Memo.fingerprint(dir.getPath)
+      fp2 should be >= 0L
+      fp2 should not be fp1
+      // rewriting back restores the digest (pure function of the listing)
+      put("a.parquet", 100, t); put("b.parquet", 200, t)
+      Memo.fingerprint(dir.getPath) shouldBe fp1
+    } finally {
+      Option(dir.listFiles()).foreach(_.foreach(_.delete())); dir.delete()
+    }
+  }
+
+  test("unbounded memo warns once per context at the first storage-pool crossing") {
+    Memo.resetWarnLatch()
+    try {
+      // below half the nominal pool: no warning, latch stays open
+      Memo.warnIfUnbounded(spark, 1L) shouldBe false
+      // first crossing warns (heap is finite, so 2^62 is past any pool)
+      Memo.warnIfUnbounded(spark, Long.MaxValue / 2) shouldBe true
+      // latched: later crossings in the same context stay silent
+      Memo.warnIfUnbounded(spark, Long.MaxValue / 2) shouldBe false
+    } finally Memo.resetWarnLatch()
+  }
+
   test("evicting a composite entry spares blocks a surviving entry co-pins") {
     // Composite entries record their nested dependencies' checkpoint ids
     // too (added ∩ keep includes what a NESTED memo build registered —
