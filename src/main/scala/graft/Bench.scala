@@ -70,9 +70,11 @@ object Bench {
         // per-builder isolation: one failing shared build must not abort
         // the bench with no artifact — the affected queries then pay (or
         // fail) their own builds inside timeOne, which already records -1
-        // and ships the artifact with the failure listed
+        // and ships the artifact with the failure listed. NonFatal only:
+        // an OutOfMemoryError/LinkageError means the JVM is corrupted and
+        // every later marginal would be a lie — let it propagate.
         MemoProbe.builders(spark, sfDir).foreach { case (name, b) =>
-          try b() catch { case e: Throwable =>
+          try b() catch { case scala.util.control.NonFatal(e) =>
             System.err.println(s"[bench] shared build $name failed: " +
               e.getMessage)
           }
@@ -92,9 +94,10 @@ object Bench {
         org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // record -1 on failure: a swallowed exception must not masquerade
-      // as a (fast) timing
+      // as a (fast) timing. NonFatal only — a fatal JVM error would make
+      // every later timing a lie (see the shared-build loop above).
       val ok = try { fn(spark, sfDir).count(); true }
-        catch { case _: Throwable => false }
+        catch { case scala.util.control.NonFatal(_) => false }
       val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       // cache/checkpoint hygiene happens OUTSIDE the timed region: each
       // rep starts with no SPARK state (caches/checkpoints cleared) but
