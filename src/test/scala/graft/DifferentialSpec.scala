@@ -189,5 +189,15 @@ class DifferentialSpec extends SparkSpec {
     val hiDispatch = verdicts(PipelineQueries.embedNearDup(spark, aug, 2 * n, 0.9))
     hiBrute.nonEmpty shouldBe true
     hiDispatch shouldBe hiBrute
+
+    // round-10 advisor: the n = 0 "count unknown" shortcut at hi τ must
+    // STILL plan the LSH path (n ≤ crossover-0 used to slip it into the
+    // O(n²) brute). The LSH plan signs into signature buckets (Generate
+    // over the sigs array); the brute plan is a θ-join with no Generate.
+    val hiN0 = PipelineQueries.embedNearDup(spark, aug, 0L, 0.9)
+    hiN0.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    } should not be empty
+    verdicts(hiN0) shouldBe hiBrute
   }
 }
