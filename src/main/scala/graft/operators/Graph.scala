@@ -250,7 +250,11 @@ object Graph {
     (pr, r)
   }
 
-  private val qPagerank = Q("q_pagerank",
+  /** The q_pagerank oracle, parameterized by iteration count so the
+    * declared bounded query (5 rounds) and the declared fixpoint query
+    * ([[rankFixMaxRounds]] rounds — the cap deterministically binds, see
+    * [[qPagerankFixpoint]]) share one CTE builder. */
+  private def pagerankOracle(nIters: Int): String =
     s"""WITH ed0 AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
        |e AS MATERIALIZED (SELECT c AS src, s + $supplierOffset AS dst FROM ed0
@@ -260,12 +264,41 @@ object Graph {
        |n AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
        |p0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE)/nn.n AS pr
        |  FROM deg CROSS JOIN n nn),
-       |${(1 to iters).map(iterSql).mkString(",\n")}
-       |SELECT node, ROUND(pr, 6) AS pr FROM p$iters
-       |ORDER BY node""".stripMargin) { (s, d) =>
+       |${(1 to nIters).map(iterSql).mkString(",\n")}
+       |SELECT node, ROUND(pr, 6) AS pr FROM p$nIters
+       |ORDER BY node""".stripMargin
+
+  private val qPagerank = Q("q_pagerank", pagerankOracle(iters)) { (s, d) =>
     pagerankRanks(s, d, iters)
       .select(col("node"), round(col("pr"), 6).as("pr")).orderBy("node")
   }
+
+  /** Round cap / ε for the DECLARED rank-fixpoint queries. ε = 10⁻¹²
+    * is one quantum of the probe's own arithmetic ([[rankDelta12]]):
+    * PageRank's geometric contraction (factor ≈ damping) would need
+    * ~170 rounds to push the total L1 movement below one quantum on any
+    * non-degenerate graph, so at every testdata scale the CAP binds —
+    * the fixpoint runs exactly [[rankFixMaxRounds]] rounds and the
+    * capped-≡-bounded identity ([[pagerankFixpoint]]: (ranks, r) ≡ the
+    * r-bounded loop bit-identically, GraphFixpointSpec) makes the
+    * [[rankFixMaxRounds]]-unrolled oracle exact. The ε-probe still
+    * executes every round — the declared query exercises the real
+    * convergence machinery, and the spec pins the early-stop branch on
+    * synthetic graphs where a loose ε fires mid-run. */
+  private val rankFixMaxRounds = 8
+  private val rankFixEps = 1e-12
+
+  /** X17 (round-11 ask #3): converge-and-stop PageRank as a DECLARED
+    * query — the user-facing form of q_pagerank, mirroring
+    * q_kcore_fixpoint's capped-fixpoint discipline. Same memoized
+    * edge/degree frames; the oracle unrolls the cap's worth of rounds
+    * (the cap binds at ε = 10⁻¹², see [[rankFixMaxRounds]]). */
+  private val qPagerankFixpoint =
+    Q("q_pagerank_fixpoint", pagerankOracle(rankFixMaxRounds)) { (s, d) =>
+      val (e, deg, n) = edgeFrames(s, d)
+      val (pr, _) = pagerankFixpoint(e, deg, n, rankFixEps, rankFixMaxRounds)
+      pr.select(col("node"), round(col("pr"), 6).as("pr")).orderBy("node")
+    }
 
   /** Personalized PageRank: the walk restarts at a SEED set (customers
     * with custkey ≡ 0 mod 100) instead of uniformly — rank measures
@@ -279,10 +312,7 @@ object Graph {
   private[graft] def pprRanks(s: org.apache.spark.sql.SparkSession,
       d: String, nIters: Int): DataFrame = {
     val (e, deg, n) = edgeFrames(s, d)
-    val isSeed = col("node") < supplierOffset && col("node") % 100 === 0
-    val nSeeds = deg.select(col("src").as("node")).where(isSeed).count()
-    val reset = when(isSeed, lit(1.0) / nSeeds).otherwise(lit(0.0))
-    pprRanksOn(e, deg, n, reset, nIters)
+    pprRanksOn(e, deg, n, pprResetOn(deg), nIters)
   }
 
   /** One personalized-rank iteration: the contribution aggregate plus a
@@ -338,10 +368,9 @@ object Graph {
        |  FROM deg n CROSS JOIN ns ss
        |  LEFT JOIN c$i c ON c.dst = n.src)""".stripMargin
 
-  /** X17: personalized PageRank from the custkey ≡ 0 (mod 100) seed
-    * set, five engine-exact iterations ([[pprRanks]]); oracle unrolls
-    * them with the identical quantized arithmetic. */
-  private val qPpr = Q("q_ppr",
+  /** The q_ppr oracle, parameterized by iteration count (shared by the
+    * bounded and fixpoint declared forms — see [[pagerankOracle]]). */
+  private def pprOracle(nIters: Int): String =
     s"""WITH ed0 AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS c,
        |    l.l_suppkey AS s
        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
@@ -355,12 +384,39 @@ object Graph {
        |p0 AS MATERIALIZED (SELECT src AS node,
        |    CASE WHEN src < $supplierOffset AND src % 100 = 0
        |    THEN 1.0/ss.n ELSE 0.0 END AS pr FROM deg CROSS JOIN ns ss),
-       |${(1 to iters).map(pprIterSql).mkString(",\n")}
-       |SELECT node, ROUND(pr, 6) AS pr FROM p$iters
-       |ORDER BY node""".stripMargin) { (s, d) =>
+       |${(1 to nIters).map(pprIterSql).mkString(",\n")}
+       |SELECT node, ROUND(pr, 6) AS pr FROM p$nIters
+       |ORDER BY node""".stripMargin
+
+  /** X17: personalized PageRank from the custkey ≡ 0 (mod 100) seed
+    * set, five engine-exact iterations ([[pprRanks]]); oracle unrolls
+    * them with the identical quantized arithmetic. */
+  private val qPpr = Q("q_ppr", pprOracle(iters)) { (s, d) =>
     pprRanks(s, d, iters)
       .select(col("node"), round(col("pr"), 6).as("pr")).orderBy("node")
   }
+
+  /** The corpus seed/reset setup shared by [[pprRanks]] and the
+    * declared PPR fixpoint: seed set = customers with custkey ≡ 0
+    * (mod 100), reset a pure expression of the node id. */
+  private def pprResetOn(deg: DataFrame): org.apache.spark.sql.Column = {
+    val isSeed = col("node") < supplierOffset && col("node") % 100 === 0
+    val nSeeds = deg.select(col("src").as("node")).where(isSeed).count()
+    when(isSeed, lit(1.0) / nSeeds).otherwise(lit(0.0))
+  }
+
+  /** X17 (round-11 ask #3): converge-and-stop personalized PageRank as
+    * a DECLARED query — same cap-binds-at-ε=10⁻¹² contract as
+    * [[qPagerankFixpoint]] ([[rankFixMaxRounds]]'s scaladoc); oracle
+    * unrolls the cap's rounds with the identical quantized
+    * arithmetic. */
+  private val qPprFixpoint =
+    Q("q_ppr_fixpoint", pprOracle(rankFixMaxRounds)) { (s, d) =>
+      val (e, deg, n) = edgeFrames(s, d)
+      val (pr, _) =
+        pprFixpoint(e, deg, n, pprResetOn(deg), rankFixEps, rankFixMaxRounds)
+      pr.select(col("node"), round(col("pr"), 6).as("pr")).orderBy("node")
+    }
 
   /** Build the undirected part co-occurrence graph: an edge (p1, p2),
     * p1 < p2, for every pair of distinct parts appearing in the same
@@ -1053,6 +1109,6 @@ object Graph {
   }
 
   val all: Seq[Q] =
-    Seq(qPagerank, qPpr, qTriangles, qKcore, qKcoreFixpoint, qLabelProp,
-      qModularity, qBfsHops, qBfsReach)
+    Seq(qPagerank, qPagerankFixpoint, qPpr, qPprFixpoint, qTriangles,
+      qKcore, qKcoreFixpoint, qLabelProp, qModularity, qBfsHops, qBfsReach)
 }
