@@ -258,6 +258,136 @@ class StreamingRestartSpec extends SparkSpec {
     got.map(_.toString).sorted.toSeq shouldBe batch.map(_.toString).sorted.toSeq
   }
 
+  // ---- kill DURING a batch (round-11 ask #7) --------------------------
+  //
+  // The clean-stop tests above exercise recovery from a COMMITTED
+  // checkpoint. The at-least-once edge production actually fears is a
+  // crash between the sink observing a batch's output and the commit log
+  // recording it: Structured Streaming writes the offset WAL before
+  // running a batch and the commit log after, so a failure in that window
+  // replays the whole batch (same batchId, same offset range) on restart
+  // — the sink sees the emission twice and the operator redoes the
+  // batch's state transition from the previous committed version. The
+  // tests inject that crash deterministically: foreachBatch buffers the
+  // output, then THROWS — output emitted, commit never written.
+
+  test("sessionizer: a batch that crashes after sink output replays on restart — no loss, duplication absorbed") {
+    implicit val sqlCtx = spark.sqlContext
+    val all = sessionEvents
+    val (first, second) = all.splitAt(all.size / 2)
+    val chk = chkDir("sess-crash")
+    val mem = MemoryStream[Event]
+    val buf = scala.collection.mutable.ArrayBuffer[Row]()
+    val emissions = scala.collection.mutable.ArrayBuffer[(Long, Int)]()
+    @volatile var crashArmed = false
+    def start() = EventStreams.sessionize(mem.toDS(), gapMinutes = 30)
+      .toDF().writeStream.outputMode(OutputMode.Update)
+      .option("checkpointLocation", chk)
+      .foreachBatch { (df: Dataset[Row], bid: Long) =>
+        val rows = df.collect()
+        buf.synchronized { buf ++= rows; emissions += (bid -> rows.length) }
+        // crash AFTER the sink wrote, BEFORE the commit log records the
+        // batch — the exact at-least-once window
+        if (crashArmed && rows.nonEmpty) {
+          crashArmed = false
+          throw new RuntimeException("injected mid-batch crash")
+        }
+        ()
+      }.start()
+
+    val q1 = start()
+    first.grouped(60).foreach { b => mem.addData(b); q1.processAllAvailable() }
+    // arm the crash and feed the first post-split chunk: its batch will
+    // emit to the sink, then die uncommitted
+    crashArmed = true
+    val (crashChunk, rest) = second.splitAt(60)
+    mem.addData(crashChunk)
+    scala.util.Try(q1.processAllAvailable()) // query dies on the injection
+    scala.util.Try(q1.awaitTermination())
+    q1.isActive shouldBe false
+
+    val q2 = start() // same checkpoint: must REPLAY the crashed batch
+    try {
+      rest.grouped(60).foreach { b => mem.addData(b); q2.processAllAvailable() }
+      q2.processAllAvailable()
+      // the replay really happened: some batchId emitted twice
+      val byBatch = emissions.synchronized(emissions.toSeq)
+        .groupBy(_._1).view.mapValues(_.size)
+      byBatch.values.max should be >= 2
+      // and end-to-end semantics survived it: the same reconstruction as
+      // the clean-restart test (distinct absorbs the duplicate emission)
+      val updates = spark.createDataFrame(
+        spark.sparkContext.parallelize(buf.synchronized(buf.toSeq)),
+        EventStreams.sessionize(all.toDS(), 30).schema)
+      val finalOpen = updates.filter(!col("closed"))
+        .groupBy("user_id")
+        .agg(max_by(struct(col("session_start"), col("session_end"),
+          col("n_events"), col("sum_value")), col("session_end")).as("s"))
+        .select(col("user_id"), col("s.session_start"),
+          col("s.n_events"), col("s.sum_value"))
+      val closed = updates.filter(col("closed"))
+        .select("user_id", "session_start", "n_events", "sum_value")
+        .distinct()
+      val ours = closed.unionAll(finalOpen)
+        .withColumn("sum_value", round(col("sum_value"), 6))
+      val batch = EventStreams.sessions(all.toDS().toDF())
+        .withColumn("sum_value", round(col("sum_value"), 6))
+        .select("user_id", "session_start", "n_events", "sum_value")
+      canon(ours) shouldBe canon(batch)
+    } finally q2.stop()
+  }
+
+  test("Bloom sketch: a batch that crashes after sink output replays on restart — final state == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    def text(seed: Int): String = {
+      val rnd = new scala.util.Random(seed)
+      (0 until 40).map(_ => s"w${rnd.nextInt(500)}").mkString(" ")
+    }
+    val docs = (0 until 120).map(i => Doc(i, tmin(i), text(700 + i)))
+    val chk = chkDir("bloom-crash")
+    val mem = MemoryStream[Doc]
+    @volatile var last: Array[Row] = Array.empty
+    val seenBatches = scala.collection.mutable.ArrayBuffer[Long]()
+    @volatile var crashArmed = false
+    def start() = CorpusIngest.bloomSketch(mem.toDS())
+      .writeStream.outputMode(OutputMode.Complete)
+      .option("checkpointLocation", chk)
+      .foreachBatch { (df: Dataset[Row], bid: Long) =>
+        last = df.collect()
+        seenBatches.synchronized { seenBatches += bid }
+        if (crashArmed) {
+          crashArmed = false
+          throw new RuntimeException("injected mid-batch crash")
+        }
+        ()
+      }.start()
+
+    val q1 = start()
+    mem.addData(docs.take(60)); q1.processAllAvailable()
+    crashArmed = true
+    mem.addData(docs.slice(60, 90))
+    scala.util.Try(q1.processAllAvailable())
+    scala.util.Try(q1.awaitTermination())
+    q1.isActive shouldBe false
+
+    val q2 = start()
+    try {
+      mem.addData(docs.drop(90)); q2.processAllAvailable()
+      // the crashed batchId was re-delivered to the sink
+      val ids = seenBatches.synchronized(seenBatches.toSeq)
+      ids.groupBy(identity).values.map(_.size).max should be >= 2
+      // last-snapshot-wins absorbs the replay; no word lost, none doubled
+      // (Complete-mode bits are idempotent ORs, so equality is exact)
+      val got = last
+        .map(r => r.getAs[Long]("word") -> r.getAs[Long]("bits")).toMap
+      val batch = graft.operators.PipelineQueries.bloomWordsOf(
+          docs.toDF().select(md5($"text").as("dig")).distinct())
+        .collect().map(r => r.getAs[Long]("word") -> r.getAs[Long]("bits"))
+        .filter(_._2 != 0L).toMap
+      got shouldBe batch
+    } finally q2.stop()
+  }
+
   private def canon(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 }
