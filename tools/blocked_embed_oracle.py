@@ -1,0 +1,187 @@
+#!/usr/bin/env python3
+"""Blocked exact oracle for the embedding near-dup family at scales where
+the all-pairs DuckDB oracle is intractable as ONE query (round-11 ask #1:
+the sf1 verification gap).
+
+The full verdict set is an all-pairs computation (n^2/2 pairs; the sf1
+corpus has n = 20 000 plain / 40 000 twin-augmented vectors, so the
+single-query unnest-join oracle explodes to ~10^10 intermediate rows and
+never finishes). Blocking does not reduce the total work -- exactness
+costs what it costs -- it partitions the pair space into independently
+checkable units that each fit comfortably in memory and time:
+
+  bucket(v) = vec_id % B  (deterministic; vec_ids are dense integers)
+  block (i, j) = all pairs a < b with bucket(a) = i and bucket(b) = j
+
+The B x B ordered blocks tile the a<b pair space exactly once (a < b
+fixes which side is i and which is j), so sweeping every block IS the
+full exact check, and a deterministic block sample is an honest partial
+check with a stated fraction. Per block, DuckDB recomputes the exact
+cosine verdicts for just that block's vectors (list_inner_product over
+the CAST-to-DOUBLE vectors -- independent arithmetic from both the Spark
+implementation under test and the small-sf unnest-join oracle) and the
+result is compared row-for-row (exact float equality on the ROUND(,6)
+values, the driver's discipline) against the Spark result parquet
+restricted to the same block.
+
+Usage:
+  blocked_embed_oracle.py <sfDir> <outDir> <query> [--blocks B] [--sample PCT]
+
+  <outDir>/<query>/*.parquet must exist (run graft.Verify first).
+  query: q_dedup_embed | q_dedup_embed_lsh      (tau=0.4, plain corpus)
+         q_dedup_embed_hi | q_dedup_embed_lsh_hi (tau=0.9, twin-augmented)
+  --sample P: check only blocks with (i*B + j) % round(100/P) == 0 --
+    a deterministic sample of ~P% of blocks (default 100 = full sweep).
+  --recall-floor R: accept missing pairs (oracle-only rows) as long as
+    overall recall >= R, PROVIDED the one-sided-error contract holds
+    exactly: zero false positives (every Spark pair is a true pair) and
+    bit-exact cos on every common pair. This is the declared check for
+    the tau=0.4 LSH stress point, whose recall on dup-heavy synthetic
+    corpora is a documented parameter trade (PipelineQueries.scala,
+    qDedupEmbedLsh scaladoc), not a bug; the output states the measured
+    recall and the cos band of the misses so the claim is quantified.
+
+Exit 0 iff every swept block matches exactly (or, with --recall-floor,
+iff the one-sided-error contract holds and recall clears the floor).
+"""
+import argparse
+import glob
+import sys
+
+import duckdb
+import numpy as np
+import pyarrow.parquet as pq
+
+TWIN_OFFSET = 1_000_000
+
+QUERIES = {
+    "q_dedup_embed": (0.4, False),
+    "q_dedup_embed_lsh": (0.4, False),
+    "q_dedup_embed_hi": (0.9, True),
+    "q_dedup_embed_lsh_hi": (0.9, True),
+}
+
+# Twin construction mirrors PipelineQueries.twinAugmented / embHiSql:
+# vec_id + 10^6, coordinate k (0-based) scaled by
+# 1 + ((vec_id*31 + k*17) % 11 - 5)/200 -- integer arithmetic then one
+# exact division, bit-identical in every engine.
+CORPUS_PLAIN = """
+  xe AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) AS k FROM embeddings),
+  vecs AS (SELECT vec_id, list(x ORDER BY k) AS vec FROM xe GROUP BY 1)
+"""
+CORPUS_AUG = f"""
+  xe AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) AS k FROM embeddings),
+  aug AS (SELECT vec_id, x, k FROM xe UNION ALL
+          SELECT vec_id + {TWIN_OFFSET},
+                 x * (1 + ((vec_id*31 + (k-1)*17) % 11 - 5) / 200.0), k
+          FROM xe),
+  vecs AS (SELECT vec_id, list(x ORDER BY k) AS vec FROM aug GROUP BY 1)
+"""
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sfDir")
+    ap.add_argument("outDir")
+    ap.add_argument("query", choices=sorted(QUERIES))
+    ap.add_argument("--blocks", type=int, default=8)
+    ap.add_argument("--sample", type=float, default=100.0)
+    ap.add_argument("--recall-floor", type=float, default=None)
+    args = ap.parse_args()
+    tau, augmented = QUERIES[args.query]
+    B = args.blocks
+
+    files = glob.glob(f"{args.outDir}/{args.query}/*.parquet")
+    if not files:
+        print(f"MISSING {args.outDir}/{args.query}/*.parquet "
+              "(run graft.Verify first)")
+        sys.exit(2)
+    sdf = pq.ParquetDataset(f"{args.outDir}/{args.query}").read().to_pandas()
+    sdf = sdf.sort_values(["a_id", "b_id"]).reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS "
+                f"SELECT * FROM read_parquet('{args.sfDir}/embeddings.parquet')")
+    corpus = CORPUS_AUG if augmented else CORPUS_PLAIN
+    # one bounded materialization: (vec_id, bucket, nrm, vec)
+    con.execute(f"""
+        CREATE TABLE v AS
+        WITH {corpus}
+        SELECT vec_id, vec_id % {B} AS bucket,
+               SQRT(list_inner_product(vec, vec)) AS nrm, vec
+        FROM vecs""")
+    n = con.execute("SELECT COUNT(*) FROM v").fetchone()[0]
+
+    stride = max(1, round(100.0 / args.sample)) if args.sample < 100 else 1
+    swept = mismatched = 0
+    pairs_spark = pairs_oracle = 0
+    false_pos = val_bad = 0
+    miss_cos = []  # cos of oracle-only (missed) pairs
+    blocks = [(i, j) for i in range(B) for j in range(B)]
+    for i, j in blocks:
+        if (i * B + j) % stride != 0:
+            continue
+        swept += 1
+        odf = con.execute(f"""
+            SELECT a_id, b_id, ROUND(cos, 6) AS cos FROM (
+              SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                     list_inner_product(a.vec, b.vec) / (a.nrm * b.nrm) AS cos
+              FROM v a JOIN v b
+                ON a.bucket = {i} AND b.bucket = {j} AND a.vec_id < b.vec_id)
+            WHERE cos >= {tau} ORDER BY a_id, b_id""").fetchdf()
+        sblk = sdf[(sdf.a_id % B == i) & (sdf.b_id % B == j)].reset_index(
+            drop=True)
+        pairs_spark += len(sblk)
+        pairs_oracle += len(odf)
+        # keyed compare: false positives (spark-only), misses
+        # (oracle-only), and value equality on the intersection
+        om = {(int(a), int(b)): float(c)
+              for a, b, c in odf.itertuples(index=False)}
+        sm = {(int(a), int(b)): float(c)
+              for a, b, c in sblk.itertuples(index=False)}
+        fp = [k for k in sm if k not in om]
+        miss = [k for k in om if k not in sm]
+        bad = [k for k in sm if k in om and sm[k] != om[k]]
+        false_pos += len(fp)
+        val_bad += len(bad)
+        miss_cos.extend(om[k] for k in miss)
+        if fp or bad or miss:
+            mismatched += 1
+            detail = (f"fp={len(fp)} miss={len(miss)} valbad={len(bad)}")
+            if fp:
+                detail += f" first_fp={fp[0]}:{sm[fp[0]]}"
+            if bad:
+                detail += f" first_bad={bad[0]}:{sm[bad[0]]}vs{om[bad[0]]}"
+            print(f"DIFF block ({i},{j}): oracle={len(odf)} "
+                  f"spark={len(sblk)} {detail}")
+
+    # a full sweep must also account for every Spark row exactly once
+    full = swept == len(blocks)
+    total_note = ""
+    if full and pairs_spark != len(sdf):
+        print(f"COVERAGE: swept blocks saw {pairs_spark} spark rows, "
+              f"result has {len(sdf)}")
+        mismatched += 1
+    if full:
+        total_note = f" (= full result: {len(sdf)} rows)"
+    recall = pairs_spark / pairs_oracle if pairs_oracle else 1.0
+    band = (f" miss_cos=[{min(miss_cos):.6f},{max(miss_cos):.6f}]"
+            if miss_cos else "")
+    print(f"{args.query}: {swept}/{len(blocks)} blocks swept over n={n} "
+          f"vectors, pairs oracle={pairs_oracle} spark={pairs_spark}"
+          f"{total_note}, {mismatched} mismatched block(s), "
+          f"false_pos={false_pos} val_bad={val_bad} "
+          f"recall={recall:.4f}{band}")
+    if args.recall_floor is not None:
+        ok = (false_pos == 0 and val_bad == 0 and
+              recall >= args.recall_floor)
+        print(f"one-sided-error contract: "
+              f"{'PASS' if ok else 'FAIL'} (floor {args.recall_floor})")
+        sys.exit(0 if ok else 1)
+    sys.exit(1 if mismatched else 0)
+
+
+if __name__ == "__main__":
+    main()
