@@ -53,6 +53,49 @@ class PipelineOpsSpec extends SparkSpec {
     Cleanup(spark)
   }
 
+  test("embed verdict joins broadcast the checkpointed vector side (sf10 cliff pin)") {
+    // The vector side of the exact-cosine re-check is a localCheckpoint'ed
+    // LogicalRDD — Catalyst has no stats for it, so without an explicit
+    // hint the verdict joins plan as sort-merge joins that sort the
+    // candidate frame WITH attached vector payloads. At the 100× synth
+    // (dup groups of 100 → ~40M candidates) those wide sorts spilled
+    // >60 GB and died on disk; see SCALE.md round-11. Pin the fix: under
+    // the default graft.dedup.broadcastVecRows bound the executed plan
+    // carries the two map-side hash joins, and forcing the bound to 0
+    // (the >4M-vector cluster regime) falls back to the shuffle join
+    // with a bit-identical verdict frame.
+    val lshDf = byName("q_dedup_embed_lsh_hi").fn(spark, sfDir)
+    val expected = lshDf.collect()
+    val planStr = lshDf.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val bhj = "BroadcastHashJoin".r.findAllIn(planStr).size
+    withClue(s"plan:\n$planStr") { bhj should be >= 2 }
+    // simulate the >4M-vector cluster regime: hint off AND Catalyst's
+    // own stats-threshold broadcast off (localCheckpoint preserves
+    // origin stats, so at test scale the planner would still broadcast
+    // a no-hint join on its own — at sf10 the estimate exceeded the
+    // threshold, which is exactly how the SMJ cliff arose)
+    val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("graft.dedup.broadcastVecRows", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val shuffled = byName("q_dedup_embed_lsh_hi").fn(spark, sfDir)
+      shuffled.collect().map(_.toSeq).toSeq shouldBe
+        expected.map(_.toSeq).toSeq
+      // AQE may still upgrade small shuffles at runtime; the dispatch
+      // decision under test is the pre-AQE plan
+      val shufPlan = shuffled.queryExecution.executedPlan.toString
+      val initial = shufPlan.split("== Initial Plan ==").last
+      withClue(s"initial plan:\n$initial") {
+        initial should include("SortMergeJoin")
+      }
+    } finally {
+      spark.conf.unset("graft.dedup.broadcastVecRows")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+    }
+    Cleanup(spark)
+  }
+
   test("HLL registers match a driver-side sketch; merge = elementwise max") {
     // recompute the whole chain (md5 → 60-bit hash → bucket/rho → max)
     // on the driver from the raw shingle strings — independent of every

@@ -1,0 +1,27 @@
+#!/usr/bin/env bash
+# Data-scaling probe: bench a query subset at an arbitrary synthesized
+# scale factor while recording the JVM's memory high-water mark.
+#
+#   tools/sfprobe.sh <sfDir> <outPrefix> <query...>
+#
+# Writes <outPrefix>.log (full sbt/bench output; the last stdout JSON
+# line is the per-query record), <outPrefix>.rss (peak java RSS in KiB,
+# sampled at 2 s), and greps the log for spill evidence. Pair with
+# tools/make_sf.py, e.g.:
+#   python3 tools/make_sf.py /root/testdata/sf0.1 /tmp/sf10 100
+#   tools/sfprobe.sh /tmp/sf10 /tmp/probe_graph q_scan q_pagerank ...
+set -u
+SFDIR=$1; OUT=$2; shift 2
+( peak=0
+  while :; do
+    cur=$(ps -C java -o rss= 2>/dev/null | awk '{s+=$1} END {print s+0}')
+    [ "$cur" -gt "$peak" ] && peak=$cur && echo "$peak" > "$OUT.rss"
+    sleep 2
+  done ) & POLL=$!
+SPARK_GRAFT_SF_DIR=$SFDIR sbt -batch "runMain graft.Bench $*" \
+  > "$OUT.log" 2>&1
+rc=$?
+kill $POLL 2>/dev/null
+echo "exit=$rc peak_rss_kib=$(cat "$OUT.rss" 2>/dev/null || echo 0)"
+grep -io "spill" "$OUT.log" | wc -l | xargs echo "spill_mentions="
+grep -o '{"metric".*' "$OUT.log" | tail -1
