@@ -235,10 +235,36 @@ object Memo {
       }
       acc.sortBy(_._2.lastUse)
     }
+    // One storage-info scan + one pin-count pass up front, then pure
+    // arithmetic per victim: a co-pinned block's bytes come off the
+    // running total only when its LAST pinning entry is evicted —
+    // mirroring exactly when releaseEntry's remove-then-diff actually
+    // unpersists it. releaseEntry itself is untouched (the co-pin
+    // safety invariant MemoSpec pins); the maps only drive the stop
+    // condition, so eviction costs O(entries + pinned RDDs) instead of
+    // a full getRDDStorageInfo walk per victim.
+    val sizeOf: Map[Int, Long] = s.sparkContext.getRDDStorageInfo
+      .map(i => i.id -> (i.memSize + i.diskSize)).toMap
+    val pins = scala.collection.mutable.Map.empty[Int, Int]
+    locally {
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey._1.sparkContext eq s.sparkContext)
+          e.getValue.rddIds.foreach(id =>
+            pins(id) = pins.getOrElse(id, 0) + 1)
+      }
+    }
+    var remaining = bytes
     val vi = victims.iterator
-    while (bytes > budget.get && vi.hasNext) {
+    while (remaining > budget.get && vi.hasNext) {
       val (vk, ve) = vi.next()
       releaseEntry(s, vk, ve, blocking = true)
+      ve.rddIds.foreach { id =>
+        val c = pins.getOrElse(id, 0) - 1
+        pins(id) = c
+        if (c == 0) remaining -= sizeOf.getOrElse(id, 0L)
+      }
     }
   }
 
