@@ -287,6 +287,10 @@ object Memo {
     * behavior is unchanged. Returns whether THIS call warned (the
     * first-crossing latch MemoSpec pins). */
   private[graft] def warnIfUnbounded(s: SparkSession, bytes: Long): Boolean = {
+    // latch hygiene: a long-lived JVM that stops and recreates contexts
+    // (the embedding-application scenario this warning targets) must not
+    // accumulate strong references to dead SparkContexts here
+    warnedContexts.removeIf(_.isStopped)
     if (warnedContexts.contains(s.sparkContext)) return false
     def fracConf(key: String, dflt: Double): Double = s.conf.getOption(key)
       .flatMap(v => scala.util.Try(v.trim.toDouble).toOption).getOrElse(dflt)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.JoinedRow
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 /** Distributed global ranking — the scale-safe replacement for
   * `row_number()/ntile() OVER (ORDER BY ...)` with an empty partitionBy,
@@ -96,6 +96,72 @@ object Rank {
     val schema = StructType(sorted.schema.fields :+
       StructField("off", LongType, nullable = false))
     GraftSqlBridge.internalRowsToDf(sorted.sparkSession, indexed, schema)
+  }
+
+  /** Sequence packing, PER-PARTITION form — the linear alternative to
+    * the global concat-and-chunk (q_pack_chunks): each input partition
+    * concatenates ITS documents' token streams in arrival order and
+    * cuts at every `chunkTokens` boundary, emitting the per-chunk fill
+    * profile (part_id, chunk_id, n_docs, n_tokens). No global sort, no
+    * prefix-sum jobs, no shuffle of any kind — one streaming pass per
+    * partition, linear by construction; the cost the global form pays
+    * is its total document order (a distributed sort, n log n), which a
+    * pretraining pipeline that accepts per-partition packing order does
+    * not need (chunk boundaries then depend on the input's partition
+    * layout — the semantics choice this operator leaves to the caller,
+    * SCALE.md round-11). Every chunk except possibly the LAST OF EACH
+    * PARTITION is exactly `chunkTokens` full, and total tokens are
+    * conserved: Σ n_tokens = Σ valueCol (both pinned in RankSpec
+    * against a driver-side reference and against the global form).
+    * Rows with valueCol ≤ 0 are skipped, matching the global form's
+    * ntok > 0 filter. `valueCol` must be a non-null LONG. Stays inside
+    * Tungsten: reads `queryExecution.toRdd` (InternalRow), aggregates
+    * chunks on the fly (a chunk closes the moment its boundary is
+    * crossed — nothing token-proportional is ever buffered), re-enters
+    * through [[org.apache.spark.sql.GraftSqlBridge]]. */
+  def packChunksLocal(df: DataFrame, valueCol: String,
+      chunkTokens: Long): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive: $chunkTokens")
+    val ord = df.schema.fieldIndex(valueCol)
+    require(df.schema(ord).dataType == LongType,
+      s"packChunksLocal needs LONG $valueCol, found " +
+        df.schema(ord).dataType)
+    val rdd = df.queryExecution.toRdd
+    val out = rdd.mapPartitionsWithIndex[InternalRow] { (pid, it) =>
+      var off = 0L    // tokens consumed in this partition so far
+      var chunk = 0L  // current (still-open) local chunk id
+      var docs = 0L   // docs touching the open chunk
+      var tok = 0L    // tokens in the open chunk
+      val body = it.flatMap { r =>
+        val ntok = r.getLong(ord)
+        if (ntok <= 0L) Iterator.empty
+        else {
+          var remaining = ntok
+          var emitted = List.empty[InternalRow]
+          while (remaining > 0L) {
+            val chunkEnd = (chunk + 1L) * chunkTokens
+            val take = math.min(remaining, chunkEnd - off)
+            docs += 1L; tok += take; off += take; remaining -= take
+            if (off == chunkEnd) {
+              emitted = InternalRow(pid, chunk, docs, tok) :: emitted
+              chunk += 1L; docs = 0L; tok = 0L
+            }
+          }
+          emitted.reverse.iterator
+        }
+      }
+      // by-name ++: the partial-chunk check runs only after `body` has
+      // drained, when the vars hold the partition's final state
+      body ++ (if (tok > 0L)
+        Iterator.single(InternalRow(pid, chunk, docs, tok))
+      else Iterator.empty)
+    }
+    val schema = StructType(Seq(
+      StructField("part_id", IntegerType, nullable = false),
+      StructField("chunk_id", LongType, nullable = false),
+      StructField("n_docs", LongType, nullable = false),
+      StructField("n_tokens", LongType, nullable = false)))
+    GraftSqlBridge.internalRowsToDf(df.sparkSession, out, schema)
   }
 
   /** SQL `ntile(k) OVER (ORDER BY sortCols)` without the single-task

@@ -60,10 +60,12 @@ class PipelineOpsSpec extends SparkSpec {
     // candidate frame WITH attached vector payloads. At the 100× synth
     // (dup groups of 100 → ~40M candidates) those wide sorts spilled
     // >60 GB and died on disk; see SCALE.md round-11. Pin the fix: under
-    // the default graft.dedup.broadcastVecRows bound the executed plan
-    // carries the two map-side hash joins, and forcing the bound to 0
-    // (the >4M-vector cluster regime) falls back to the shuffle join
-    // with a bit-identical verdict frame.
+    // the default graft.dedup.broadcastVecBytes budget (round-12: byte
+    // estimate, rows × 536 B, vs the old raw row cap) the executed plan
+    // carries the two map-side hash joins, and forcing the
+    // graft.dedup.broadcastVecRows override to 0 (the over-budget
+    // cluster regime) falls back to the shuffle join with a
+    // bit-identical verdict frame.
     val lshDf = byName("q_dedup_embed_lsh_hi").fn(spark, sfDir)
     val expected = lshDf.collect()
     val planStr = lshDf.queryExecution.executedPlan.toString
@@ -91,6 +93,23 @@ class PipelineOpsSpec extends SparkSpec {
       }
     } finally {
       spark.conf.unset("graft.dedup.broadcastVecRows")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+    }
+    // the byte budget dispatches the same way without the row override:
+    // a 0-byte budget must also plan the shuffle join (pre-AQE)
+    spark.conf.set("graft.dedup.broadcastVecBytes", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val byBytes = byName("q_dedup_embed_lsh_hi").fn(spark, sfDir)
+      byBytes.collect().map(_.toSeq).toSeq shouldBe
+        expected.map(_.toSeq).toSeq
+      val initial = byBytes.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").last
+      withClue(s"initial plan:\n$initial") {
+        initial should include("SortMergeJoin")
+      }
+    } finally {
+      spark.conf.unset("graft.dedup.broadcastVecBytes")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
     }
     Cleanup(spark)

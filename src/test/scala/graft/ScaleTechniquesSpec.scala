@@ -380,6 +380,71 @@ class ScaleTechniquesSpec extends SparkSpec {
     got.map(_.getLong(0)).toSeq shouldBe got.indices.map(_.toLong)
   }
 
+  test("packChunksLocal: exact per-partition reference pack, boundary cases") {
+    import graft.operators.Rank
+    import spark.implicits._
+    // values exercise every boundary: multi-chunk docs (v > C), exact
+    // fills, tiny docs; repartition(5) gives genuinely independent
+    // partition streams
+    val C = 16L
+    val df = (0 until 113).map(i => (i.toLong, ((i * 37) % 45 + 1).toLong))
+      .toDF("id", "v").repartition(5)
+    val got = Rank.packChunksLocal(df, "v", C)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(t => (t._1, t._2)).toSeq
+    // driver-side reference over the SAME per-partition streams
+    val streams = df.rdd.mapPartitionsWithIndex((p, it) =>
+      Iterator(p -> it.map(_.getLong(1)).toArray)).collect()
+    val want = streams.toSeq.flatMap { case (p, vs) =>
+      val out = scala.collection.mutable
+        .ArrayBuffer.empty[(Int, Long, Long, Long)]
+      var off = 0L; var chunk = 0L; var docs = 0L; var tok = 0L
+      vs.foreach { v =>
+        var rem = v
+        while (rem > 0) {
+          val take = math.min(rem, (chunk + 1) * C - off)
+          docs += 1; tok += take; off += take; rem -= take
+          if (off == (chunk + 1) * C) {
+            out += ((p, chunk, docs, tok)); chunk += 1; docs = 0; tok = 0
+          }
+        }
+      }
+      if (tok > 0) out += ((p, chunk, docs, tok))
+      out
+    }.sortBy(t => (t._1, t._2))
+    got shouldBe want
+    // token conservation against the raw input
+    got.map(_._4).sum shouldBe df.agg(sum("v")).head().getLong(0)
+  }
+
+  test("q_pack_chunks_local: conserves tokens vs global form; zero shuffle") {
+    val byName = graft.operators.PipelineQueries.all
+      .map(q => q.name -> q).toMap
+    val localRows = byName("q_pack_chunks_local").fn(spark, sfDir).collect()
+    val globalRows = byName("q_pack_chunks").fn(spark, sfDir).collect()
+    // token conservation: both pack the identical token stream
+    localRows.map(_.getLong(3)).sum shouldBe globalRows.map(_.getLong(2)).sum
+    // per partition: all but the last chunk exactly full, ids dense from 0
+    localRows.groupBy(_.getInt(0)).values.foreach { part =>
+      val sorted = part.sortBy(_.getLong(1))
+      sorted.init.foreach(_.getLong(3) shouldBe 512L)
+      sorted.last.getLong(3) should be <= 512L
+      sorted.map(_.getLong(1)).toSeq shouldBe sorted.indices.map(_.toLong)
+    }
+    // linear by construction: the OPERATOR (before the declared query's
+    // small profile sort) plans no Exchange of any kind — the global
+    // form's distributed sort is exactly what this variant removes
+    val wc = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions
+          .size(graft.functions.TextFns.tokenArr(col("text")))
+          .cast("long").as("ntok"))
+      .filter(col("ntok") > 0)
+    val opPlan = graft.operators.Rank.packChunksLocal(wc, "ntok", 512L)
+      .queryExecution.executedPlan.toString
+    withClue(s"plan:\n$opPlan") { opPlan should not include "Exchange" }
+  }
+
   test("q_mix_temperature flattens the source distribution toward uniform") {
     import spark.implicits._
     val byName = graft.operators.PipelineQueries.all

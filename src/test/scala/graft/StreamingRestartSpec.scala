@@ -311,7 +311,8 @@ class StreamingRestartSpec extends SparkSpec {
       rest.grouped(60).foreach { b => mem.addData(b); q2.processAllAvailable() }
       q2.processAllAvailable()
       // the replay really happened: some batchId emitted twice
-      val byBatch = emissions.synchronized(emissions.toSeq)
+      // same monitor as the writer (buf.synchronized guards emissions too)
+      val byBatch = buf.synchronized(emissions.toSeq)
         .groupBy(_._1).view.mapValues(_.size)
       byBatch.values.max should be >= 2
       // and end-to-end semantics survived it: the same reconstruction as

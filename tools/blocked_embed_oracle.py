@@ -166,7 +166,10 @@ def main():
         mismatched += 1
     if full:
         total_note = f" (= full result: {len(sdf)} rows)"
-    recall = pairs_spark / pairs_oracle if pairs_oracle else 1.0
+    # keyed intersection only: raw spark count would let false positives
+    # offset misses (and could print recall > 1)
+    recall = ((pairs_spark - false_pos) / pairs_oracle
+              if pairs_oracle else 1.0)
     band = (f" miss_cos=[{min(miss_cos):.6f},{max(miss_cos):.6f}]"
             if miss_cos else "")
     print(f"{args.query}: {swept}/{len(blocks)} blocks swept over n={n} "

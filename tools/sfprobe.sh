@@ -5,21 +5,33 @@
 #   tools/sfprobe.sh <sfDir> <outPrefix> <query...>
 #
 # Writes <outPrefix>.log (full sbt/bench output; the last stdout JSON
-# line is the per-query record), <outPrefix>.rss (peak java RSS in KiB,
-# sampled at 2 s), and greps the log for spill evidence. Pair with
+# line is the per-query record), <outPrefix>.rss (peak RSS in KiB of the
+# bench's OWN process tree, sampled at 2 s — not every java process on
+# the host, which would fold the sbt launcher and unrelated JVMs into
+# the high-water mark), and greps the log for spill evidence. Pair with
 # tools/make_sf.py, e.g.:
 #   python3 tools/make_sf.py /root/testdata/sf0.1 /tmp/sf10 100
 #   tools/sfprobe.sh /tmp/sf10 /tmp/probe_graph q_scan q_pagerank ...
 set -u
 SFDIR=$1; OUT=$2; shift 2
+SPARK_GRAFT_SF_DIR=$SFDIR sbt -batch "runMain graft.Bench $*" \
+  > "$OUT.log" 2>&1 & BENCH=$!
 ( peak=0
-  while :; do
-    cur=$(ps -C java -o rss= 2>/dev/null | awk '{s+=$1} END {print s+0}')
+  while kill -0 "$BENCH" 2>/dev/null; do
+    # the bench pid plus all descendants (sbt launcher forks the JVM)
+    all=$BENCH; frontier=$BENCH
+    while :; do
+      kids=$(pgrep -P "$(echo "$frontier" | tr ' ' ',')" 2>/dev/null \
+        | tr '\n' ' ')
+      [ -z "${kids// /}" ] && break
+      all="$all $kids"; frontier="$kids"
+    done
+    cur=$(ps -o rss= -p "$(echo "$all" | tr ' ' ',')" 2>/dev/null \
+      | awk '{s+=$1} END {print s+0}')
     [ "$cur" -gt "$peak" ] && peak=$cur && echo "$peak" > "$OUT.rss"
     sleep 2
   done ) & POLL=$!
-SPARK_GRAFT_SF_DIR=$SFDIR sbt -batch "runMain graft.Bench $*" \
-  > "$OUT.log" 2>&1
+wait "$BENCH"
 rc=$?
 kill $POLL 2>/dev/null
 echo "exit=$rc peak_rss_kib=$(cat "$OUT.rss" 2>/dev/null || echo 0)"
