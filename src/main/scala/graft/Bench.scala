@@ -22,6 +22,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional pinned-byte memo budget (SCALE.md budgeted probe runs);
+    // evictions performed under it are published in the JSON artifact
+    sys.env.get("SPARK_GRAFT_MEMO_BUDGET").foreach(b =>
+      spark.conf.set("graft.memo.maxPinnedBytes", b))
     // Untimed warm-up: JVM/codegen/scheduler spin-up otherwise lands on
     // whichever query happens to run first, skewing its number by ~4s.
     // Exercise each hot code path once (vectorized parquet read, hash agg
@@ -150,7 +154,7 @@ object Bench {
       "(one-time shared builds excluded; their cost is memo_builds_sec, " +
       "-1 when not measured)"
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","measure":"$measure","memo_builds_sec":$memoBuildsSec,"queries":$qs,"runs":$runsJson,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","measure":"$measure","memo_builds_sec":$memoBuildsSec,"memo_evictions":${Memo.evictions},"queries":$qs,"runs":$runsJson,"failed":$failed,"sf":"$sfDir"}"""
     println(json)
     // the stdout line gets truncated by log-capture at ~85 queries — the
     // file copy is the lossless record
@@ -170,7 +174,7 @@ object Bench {
       val qpart = byTime.take(n)
         .map { case (k, v) => f""""$k":${math.rint(v * 100) / 100}%s""" }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${math.rint(total * 100) / 100},"unit":"sec","measure":"$measure","memo_builds_sec":$memoBuildsSec,"nqueries":${results.size},"full":"target/bench.json","failed":$failed,"sf":"$sfDir","queries":$qpart}"""
+      s"""{"metric":"total","value":${math.rint(total * 100) / 100},"unit":"sec","measure":"$measure","memo_builds_sec":$memoBuildsSec,"memo_evictions":${Memo.evictions},"nqueries":${results.size},"full":"target/bench.json","failed":$failed,"sf":"$sfDir","queries":$qpart}"""
     }
     val fitting = (byTime.size to 0 by -1).view.map(compact)
       .find(_.length <= budget).getOrElse(compact(0))

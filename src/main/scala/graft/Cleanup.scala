@@ -17,6 +17,10 @@ import org.apache.spark.sql.SparkSession
   */
 object Cleanup {
   def apply(spark: SparkSession): Unit = {
+    // query boundary first: the finished query's frames are dead, so
+    // memo entries handed to it become eligible for byte-budget
+    // eviction again (Memo's touched-set protection)
+    Memo.queryBoundary(spark)
     spark.sharedState.cacheManager.clearCache()
     val keep = Memo.pinnedRddIds(spark)
     spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>

@@ -94,6 +94,10 @@ class MemoSpec extends SparkSpec {
       perEntry should be > 0L
       // touch a so b is the least recently used
       (build("memospec.bud.a") eq a) shouldBe true
+      // query boundary: a and b are no longer in-flight, so they become
+      // evictable (recency order survives the boundary — lastUse is
+      // independent of the touched-set protection)
+      Memo.queryBoundary(spark)
       // budget that fits TWO entries: the third build must evict exactly
       // the LRU entry (b), keeping a (recently used) and c (just built)
       spark.conf.set("graft.memo.maxPinnedBytes", (perEntry * 2).toString)
@@ -185,6 +189,8 @@ class MemoSpec extends SparkSpec {
       // eviction (the LRU = outer) brings it under
       val perEntry = Memo.pinnedBytes(spark) / 2
       perEntry should be > 0L
+      // boundary: inner/outer leave the in-flight protection set
+      Memo.queryBoundary(spark)
       spark.conf.set("graft.memo.maxPinnedBytes",
         (perEntry * 5 / 2).toString)
       // a third, unrelated build trips enforceBudget → outer is evicted
@@ -199,6 +205,46 @@ class MemoSpec extends SparkSpec {
     } finally {
       spark.conf.unset("graft.memo.maxPinnedBytes")
       Memo.release(spark)
+    }
+  }
+
+  test("mid-suite eviction changes no declared result (budget = 1 byte)") {
+    // The round-11 probe proved the unbudgeted sf10 pinned set exceeds
+    // the storage pool, so production sets graft.memo.maxPinnedBytes —
+    // under which every memo-sharing query may find its shared build
+    // EVICTED by the previous query's enforceBudget pass and must
+    // rebuild. Pin that the rebuild path is invisible in results: a
+    // 1-byte budget (evict everything except the entry in use, after
+    // every build) over a cross-family memo-sharing set reproduces the
+    // unbudgeted results row for row, with evictions actually firing.
+    Memo.clear(); Cleanup(spark)
+    val names = Seq("q_pagerank", "q_ppr", "q_label_prop", "q_modularity",
+      "q_dedup_ngram", "q_dedup_minhash", "q_tfidf")
+    def runAll(): Map[String, Seq[Seq[Any]]] =
+      names.map { n =>
+        val rows = SparkEntry.queries(n)(spark, sfDir).collect()
+          .map(_.toSeq).toSeq
+        // the harness's per-query sweep — also the memo query boundary
+        // that makes the previous query's entries evictable
+        Cleanup(spark)
+        n -> rows
+      }.toMap
+    val baseline = runAll()
+    Memo.release(spark); Cleanup(spark)
+    val before = Memo.evictions
+    spark.conf.set("graft.memo.maxPinnedBytes", "1")
+    try {
+      val budgeted = runAll()
+      names.foreach { n =>
+        withClue(s"$n under 1-byte memo budget:") {
+          budgeted(n) shouldBe baseline(n)
+        }
+      }
+      (Memo.evictions - before) should be > 0L
+    } finally {
+      spark.conf.unset("graft.memo.maxPinnedBytes")
+      Memo.release(spark)
+      Cleanup(spark)
     }
   }
 }

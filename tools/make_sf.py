@@ -77,10 +77,16 @@ def main():
     for name in SHIFTS:
         t = pq.read_table(f"{src}/{name}.parquet")
         reps = 1 if name in ("nation", "region") else k
-        out = pa.concat_tables([copy_of(name, t, i) for i in range(reps)])
-        pq.write_table(out, f"{dst}/{name}.parquet",
-                       coerce_timestamps=None)
-        print(f"{name}: {t.num_rows} -> {out.num_rows}")
+        # stream copies through one writer instead of concatenating K
+        # tables in memory (K=1000 of lineitem would not fit)
+        n_out = 0
+        with pq.ParquetWriter(f"{dst}/{name}.parquet", t.schema,
+                              coerce_timestamps=None) as w:
+            for i in range(reps):
+                c = copy_of(name, t, i)
+                w.write_table(c)
+                n_out += c.num_rows
+        print(f"{name}: {t.num_rows} -> {n_out}", flush=True)
 
 
 if __name__ == "__main__":
