@@ -18,15 +18,19 @@ SPARK_GRAFT_SF_DIR=$SFDIR sbt -batch "runMain graft.Bench $*" \
   > "$OUT.log" 2>&1 & BENCH=$!
 ( peak=0
   while kill -0 "$BENCH" 2>/dev/null; do
-    # the bench pid plus all descendants (sbt launcher forks the JVM)
+    # the bench pid plus all descendants (sbt launcher forks the JVM).
+    # NB: word-split $frontier/$all through set -- so the comma list
+    # never carries a stray trailing separator (pgrep rejects "123,")
     all=$BENCH; frontier=$BENCH
     while :; do
-      kids=$(pgrep -P "$(echo "$frontier" | tr ' ' ',')" 2>/dev/null \
-        | tr '\n' ' ')
-      [ -z "${kids// /}" ] && break
+      set -- $frontier
+      kids=$(pgrep -P "$(IFS=,; echo "$*")" 2>/dev/null | tr '\n' ' ')
+      set -- $kids
+      [ $# -eq 0 ] && break
       all="$all $kids"; frontier="$kids"
     done
-    cur=$(ps -o rss= -p "$(echo "$all" | tr ' ' ',')" 2>/dev/null \
+    set -- $all
+    cur=$(ps -o rss= -p "$(IFS=,; echo "$*")" 2>/dev/null \
       | awk '{s+=$1} END {print s+0}')
     [ "$cur" -gt "$peak" ] && peak=$cur && echo "$peak" > "$OUT.rss"
     sleep 2
