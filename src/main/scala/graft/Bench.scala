@@ -6,9 +6,15 @@ object Bench {
     // default matches the contract environment: local[32], 32 shuffle
     // partitions (SPARK_GRAFT_CPUS overrides for constrained local runs)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // shuffle partitions default to core count (the contract env), but
+    // scale with DATA, not cores: at the sf100 probe the fixed 32 was
+    // the binding constraint (150 M-row self-join aggregation per task
+    // → AGGREGATE_OUT_OF_MEMORY) — the knob every cluster deployment
+    // owns (SCALE.md session defaults), exposed here for big-sf probes
+    val shufParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufParts)
       // cached plans pin their partitioning unless AQE is allowed to
       // re-coalesce them; without this the model-boundary persists
       // (TWCNB ntc, tf) force 32-partition stages onto kilobyte tables —
@@ -82,6 +88,14 @@ object Bench {
             System.err.println(s"[bench] shared build $name failed: " +
               e.getMessage)
           }
+          // each builder is its own unit: sweep its non-pinned
+          // transients AND declare a memo query boundary, so a set
+          // pinned-byte budget can evict earlier builds while later
+          // ones run. Without this the whole build set accumulates in
+          // one boundary-less stretch — at sf10 (12.4 GB pinned) that
+          // OOM'd the 32 GB heap before any query ran, with the budget
+          // powerless because every entry was still in-flight.
+          Cleanup(spark)
         }
         math.rint((System.nanoTime() - t0) / 1e7) / 100
       }

@@ -20,6 +20,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional pinned-byte memo budget, same plumbing as Bench: lets the
+    // oracle gate itself run under eviction pressure (SCALE.md round-12)
+    sys.env.get("SPARK_GRAFT_MEMO_BUDGET").foreach(b =>
+      spark.conf.set("graft.memo.maxPinnedBytes", b))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
