@@ -159,7 +159,12 @@ object Graph {
         (col("s") + supplierOffset).as("dst"))
       .union(edges0.select((col("s") + supplierOffset).as("src"),
         col("c").as("dst")))
-      .localCheckpoint(true) // nIters reuses: materialize the distinct once
+      // nIters reuses: materialize the distinct once. EDGE-width →
+      // SERIALIZED storage (see coOccurEdgesCk: the deserialized
+      // default heap-OOMs at the sf100 edge count; node-width `deg`
+      // below keeps the fast default)
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .localCheckpoint(true)
     (e, deg, deg.count())
@@ -437,7 +442,17 @@ object Graph {
   private[graft] def coOccurEdgesCk(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame =
     graft.Memo(s, s"graph.coOccurEdges:$d", d) {
-      coOccurEdges(s, d).localCheckpoint(true)
+      // EDGE-width frame: checkpoint SERIALIZED. The deserialized
+      // default stores one boxed UnsafeRow copy per edge per partition
+      // on the heap — at the sf100 probe (600 M lineitem rows) that was
+      // a plain heap OOM inside Dataset.checkpoint's UnsafeRow.copy at
+      // both 32 g and 64 g, while MEMORY_AND_DISK_SER packs the same
+      // rows into compact byte buffers that overflow to disk
+      // gracefully. Node-width frames (degrees, rank states) stay on
+      // the fast deserialized default; only the frames proportional to
+      // EDGES get this treatment (SCALE.md round-12).
+      coOccurEdges(s, d).localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     }
 
   /** The narrow pair generator shared by [[coOccurEdges]] and
@@ -482,7 +497,9 @@ object Graph {
       val pr = coOccurWeighted(s, d, lpaMinW)
       pr.select(col("p1").as("s"), col("p2").as("t"), col("w"))
         .union(pr.select(col("p2"), col("p1"), col("w")))
-        .localCheckpoint(true)
+        // edge-width: serialized checkpoint (see coOccurEdgesCk)
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     }
 
   /** Per-node triangle counts over [[coOccurEdges]] by degree-ordered
