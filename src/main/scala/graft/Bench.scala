@@ -32,6 +32,14 @@ object Bench {
     // evictions performed under it are published in the JSON artifact
     sys.env.get("SPARK_GRAFT_MEMO_BUDGET").foreach(b =>
       spark.conf.set("graft.memo.maxPinnedBytes", b))
+    // optional override of the edge-checkpoint storage dispatch (the
+    // round-13 serialized-vs-deserialized A/B: 0 forces SER everywhere,
+    // a huge value forces the deserialized default everywhere)
+    sys.env.get("SPARK_GRAFT_SER_CKPT_BYTES").foreach(b =>
+      spark.conf.set("graft.graph.serializedCheckpointBytes", b))
+    // optional eviction-policy override (lru = the round-13 A/B control)
+    sys.env.get("SPARK_GRAFT_MEMO_POLICY").foreach(p =>
+      spark.conf.set("graft.memo.evictionPolicy", p))
     // Untimed warm-up: JVM/codegen/scheduler spin-up otherwise lands on
     // whichever query happens to run first, skewing its number by ~4s.
     // Exercise each hot code path once (vectorized parquet read, hash agg
@@ -167,8 +175,15 @@ object Bench {
     val measure = "min-of-reps, warm page cache, memo-marginal " +
       "(one-time shared builds excluded; their cost is memo_builds_sec, " +
       "-1 when not measured)"
+    // memo_evictions/memo_rebuilds are 0 at gate scale BY DESIGN (the
+    // sf0.1 working set fits any realistic budget; nothing evicts, so
+    // nothing rebuilds) — they only move on budgeted big-sf runs (29
+    // evictions at sf10/8 GB, SCALE.md); at the gate they prove the
+    // plumbing, not the policy. memo_rebuild_sec is the recompute tax
+    // those evictions caused — the figure the cost-aware victim order
+    // minimizes.
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","measure":"$measure","memo_builds_sec":$memoBuildsSec,"memo_evictions":${Memo.evictions},"queries":$qs,"runs":$runsJson,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","measure":"$measure","memo_builds_sec":$memoBuildsSec,"memo_evictions":${Memo.evictions},"memo_rebuilds":${Memo.rebuilds},"memo_rebuild_sec":${Memo.rebuildSeconds},"queries":$qs,"runs":$runsJson,"failed":$failed,"sf":"$sfDir"}"""
     println(json)
     // the stdout line gets truncated by log-capture at ~85 queries — the
     // file copy is the lossless record
@@ -188,7 +203,7 @@ object Bench {
       val qpart = byTime.take(n)
         .map { case (k, v) => f""""$k":${math.rint(v * 100) / 100}%s""" }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${math.rint(total * 100) / 100},"unit":"sec","measure":"$measure","memo_builds_sec":$memoBuildsSec,"memo_evictions":${Memo.evictions},"nqueries":${results.size},"full":"target/bench.json","failed":$failed,"sf":"$sfDir","queries":$qpart}"""
+      s"""{"metric":"total","value":${math.rint(total * 100) / 100},"unit":"sec","measure":"$measure","memo_builds_sec":$memoBuildsSec,"memo_evictions":${Memo.evictions},"memo_rebuilds":${Memo.rebuilds},"memo_rebuild_sec":${Memo.rebuildSeconds},"nqueries":${results.size},"full":"target/bench.json","failed":$failed,"sf":"$sfDir","queries":$qpart}"""
     }
     val fitting = (byTime.size to 0 by -1).view.map(compact)
       .find(_.length <= budget).getOrElse(compact(0))

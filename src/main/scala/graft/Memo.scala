@@ -45,18 +45,24 @@ import org.apache.spark.sql.SparkSession
   *
   * Footprint contract: `graft.memo.maxPinnedBytes` (unset = unlimited,
   * the harness default) bounds the pinned working set — exceeding it
-  * evicts least-recently-used entries (their blocks unpersisted; a
-  * later call rebuilds), so an embedding application streaming many
-  * datasets through one session cannot grow executor storage without
-  * bound. Eviction respects QUERY BOUNDARIES: entries handed out since
-  * the last [[queryBoundary]] (Cleanup calls it per query) are
-  * in-flight — a live plan may still read their truncated-lineage
-  * checkpoints — and are never evicted; between boundaries the budget
-  * may therefore stay temporarily exceeded. With the conf UNSET, the
-  * first crossing of half the nominal storage pool logs one WARN
-  * naming the conf ([[warnIfUnbounded]]) — loud, but advisory only.
-  * [[pinnedBytes]] publishes the current figure; [[evictions]] counts
-  * the LRU evictions performed.
+  * evicts entries COST-AWARE (their blocks unpersisted; a later call
+  * rebuilds), so an embedding application streaming many datasets
+  * through one session cannot grow executor storage without bound.
+  * Victim order is greedy bytes-per-rebuild-second, not LRU: each
+  * candidate scores (freeable bytes it alone pins) / (its measured
+  * build seconds), highest first, recency as tiebreak — the round-12
+  * sf10 run showed pure recency evicting 20-40 s graph builds to keep
+  * cheap frames (q_label_prop 0.13 → 42.4 s rebuild storms). Eviction
+  * respects QUERY BOUNDARIES: entries handed out since the last
+  * [[queryBoundary]] (Cleanup calls it per query) are in-flight — a
+  * live plan may still read their truncated-lineage checkpoints — and
+  * are never evicted; between boundaries the budget may therefore stay
+  * temporarily exceeded. With the conf UNSET, the first crossing of
+  * half the nominal storage pool logs one WARN naming the conf
+  * ([[warnIfUnbounded]]) — loud, but advisory only. [[pinnedBytes]]
+  * publishes the current figure; [[evictions]] counts evictions;
+  * [[rebuilds]]/[[rebuildSeconds]] ledger the recompute tax budgeted
+  * runs pay.
   *
   * Concurrency contract: builds and the [[Cleanup]] sweep are expected
   * to run sequentially WITHIN one SparkContext (the harness and the
@@ -70,8 +76,8 @@ import org.apache.spark.sql.SparkSession
   */
 object Memo {
   private final case class Entry(value: AnyRef, rddIds: Set[Int],
-      fingerprint: Long) {
-    // recency stamp for the byte-budget eviction order; mutated under
+      fingerprint: Long, buildNanos: Long) {
+    // recency stamp for the byte-budget eviction TIEBREAK; mutated under
     // the single-threaded build discipline the concurrency contract
     // already requires, so a plain volatile is enough.
     @volatile var lastUse: Long = 0L
@@ -182,6 +188,11 @@ object Memo {
     // newSession() on a live context is NOT purged here — such an
     // embedding must call release(s) at its session boundary.)
     m.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    // same hygiene for the in-flight set: a stopped context that never
+    // reaches another queryBoundary would otherwise strand its touched
+    // keys (strong session refs) for the JVM lifetime — exactly the
+    // long-lived embedding scenario the budget machinery targets
+    touched.removeIf(k => k._1.sparkContext.isStopped)
     val k = (s, key)
     val hit = m.get(k)
     if (hit != null) {
@@ -205,7 +216,22 @@ object Memo {
     // happens the loser's value is simply dropped (its blocks stay
     // until release/session end — bounded node/edge-width frames).
     val before = s.sparkContext.getPersistentRDDs.keySet
+    val buildT0 = System.nanoTime()
     val v = f
+    val buildNanos = System.nanoTime() - buildT0
+    // rebuild ledger: a build for a key this JVM has built before (same
+    // context) is recompute the memo already paid once — evictions and
+    // fingerprint invalidations land here. Bench publishes the totals
+    // (memo_rebuilds / memo_rebuild_sec) so a budgeted run's recompute
+    // tax is a first-class artifact number, and the eviction policy's
+    // cost term below is measured the same way.
+    locally {
+      val bk = (System.identityHashCode(s.sparkContext), key)
+      if (!everBuilt.add(bk)) {
+        rebuildTick.incrementAndGet()
+        rebuildNanosTotal.addAndGet(buildNanos)
+      }
+    }
     val added = s.sparkContext.getPersistentRDDs.keySet.diff(before).toSet
     // Pin ONLY what later consumers can actually read: the checkpoint
     // RDDs reachable from the returned frames' plans (LogicalRDD
@@ -224,7 +250,7 @@ object Memo {
     val persisted = s.sparkContext.getPersistentRDDs
     added.diff(keep).foreach(id =>
       persisted.get(id).foreach(_.unpersist(blocking = false)))
-    val entry = Entry(v, added.intersect(keep), fp)
+    val entry = Entry(v, added.intersect(keep), fp, buildNanos)
     entry.lastUse = useTick.incrementAndGet()
     val prev = m.putIfAbsent(k, entry)
     val out = if (prev != null) prev.value.asInstanceOf[T] else v
@@ -255,22 +281,6 @@ object Memo {
       return
     }
     if (bytes <= budget.get) return
-    // same-context entries, least recently used first, sparing justUsed
-    // and everything touched since the last query boundary (a live plan
-    // may still reference those frames — see `touched`). When every
-    // entry is in-flight the budget stays exceeded until the boundary,
-    // the same deliberate trade as the larger-than-budget single entry.
-    val victims = {
-      val it = m.entrySet().iterator()
-      var acc = List.empty[((SparkSession, String), Entry)]
-      while (it.hasNext) {
-        val e = it.next()
-        if ((e.getKey._1.sparkContext eq s.sparkContext) &&
-            e.getKey != justUsed && !touched.contains(e.getKey))
-          acc = (e.getKey -> e.getValue) :: acc
-      }
-      acc.sortBy(_._2.lastUse)
-    }
     // One storage-info scan + one pin-count pass up front, then pure
     // arithmetic per victim: a co-pinned block's bytes come off the
     // running total only when its LAST pinning entry is evicted —
@@ -291,21 +301,71 @@ object Memo {
             pins(id) = pins.getOrElse(id, 0) + 1)
       }
     }
+    // same-context entries, sparing justUsed and everything touched
+    // since the last query boundary (a live plan may still reference
+    // those frames — see `touched`). When every entry is in-flight the
+    // budget stays exceeded until the boundary, the same deliberate
+    // trade as the larger-than-budget single entry.
+    //
+    // Victim ORDER is cost-aware, not LRU (round-12 ask #5: the sf10
+    // budgeted run showed pure recency evicting 20-40 s graph builds to
+    // keep cheap frames — q_label_prop 0.13 → 42.4 s rebuild storms).
+    // Greedy knapsack: evict the entry freeing the most bytes per
+    // rebuild-second first, where the bytes are the entry's FREEABLE
+    // bytes (blocks it alone pins — a co-pinned dependency frees
+    // nothing while its pinner survives, so it scores 0 and naturally
+    // sorts last) and the cost is its measured build time. Scores are
+    // computed once against the pre-eviction pin counts (an entry whose
+    // blocks become sole-pinned mid-pass keeps its stale score — a
+    // bounded approximation, not a safety issue: the accounting loop
+    // below still frees exactly the right bytes). lastUse breaks ties
+    // (equal-score entries evict least-recently-used first).
+    val victims = {
+      val it = m.entrySet().iterator()
+      var acc = List.empty[((SparkSession, String), Entry)]
+      while (it.hasNext) {
+        val e = it.next()
+        if ((e.getKey._1.sparkContext eq s.sparkContext) &&
+            e.getKey != justUsed && !touched.contains(e.getKey))
+          acc = (e.getKey -> e.getValue) :: acc
+      }
+      def freeable(e: Entry): Long = e.rddIds.iterator
+        .filter(id => pins.getOrElse(id, 0) == 1)
+        .map(id => sizeOf.getOrElse(id, 0L)).sum
+      def score(e: Entry): Double =
+        freeable(e) / math.max(e.buildNanos / 1e9, 1e-3)
+      // graft.memo.evictionPolicy=lru restores the pre-round-13 pure
+      // recency order — kept as the A/B control for the policy
+      // measurement (SCALE.md round-13), not a recommended setting
+      if (s.conf.getOption("graft.memo.evictionPolicy")
+          .contains("lru")) acc.sortBy(_._2.lastUse)
+      else acc.map { case (k, e) => (k, e, score(e)) }
+        .sortBy { case (_, e, sc) => (-sc, e.lastUse) }
+        .map { case (k, e, _) => (k, e) }
+    }
     var remaining = bytes
     val vi = victims.iterator
     while (remaining > budget.get && vi.hasNext) {
       val (vk, ve) = vi.next()
       releaseEntry(s, vk, ve, blocking = true)
       val beforeBytes = remaining
+      // the victim's own block bytes, logged separately from the
+      // accounting delta: a victim whose blocks are co-pinned by
+      // survivors frees ~0 accounted bytes even though the eviction
+      // happened — the two figures disambiguate that in budgeted logs
+      val ownBytes = ve.rddIds.iterator
+        .map(id => sizeOf.getOrElse(id, 0L)).sum
       ve.rddIds.foreach { id =>
         val c = pins.getOrElse(id, 0) - 1
         pins(id) = c
         if (c == 0) remaining -= sizeOf.getOrElse(id, 0L)
       }
       evictionTick.incrementAndGet()
-      log.info(s"graft.Memo evicted '${vk._2}' (LRU, ~${beforeBytes -
-        remaining} pinned bytes freed) to meet " +
-        s"graft.memo.maxPinnedBytes=${budget.get}; a later call rebuilds.")
+      log.info(s"graft.Memo evicted '${vk._2}' (cost-aware: ~$ownBytes " +
+        s"block bytes over ${math.rint(ve.buildNanos / 1e7) / 100} s " +
+        s"build; ~${beforeBytes - remaining} pinned bytes freed net of " +
+        s"co-pins) to meet graft.memo.maxPinnedBytes=${budget.get}; a " +
+        s"later call rebuilds.")
     }
   }
 
@@ -313,8 +373,25 @@ object Memo {
   // machinery (SCALE.md publishes it for the budgeted sf10 run)
   private val evictionTick = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** Total LRU evictions performed by [[enforceBudget]] in this JVM. */
+  /** Total budget evictions performed by [[enforceBudget]] in this JVM. */
   def evictions: Long = evictionTick.get()
+
+  // rebuild ledger (see applyImpl): keys this JVM has built at least
+  // once, by context identity hash — no strong context refs to leak
+  private val everBuilt = java.util.Collections.newSetFromMap(
+    new ConcurrentHashMap[(Int, String), java.lang.Boolean])
+  private val rebuildTick = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val rebuildNanosTotal =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Builds of a key this JVM already built once (eviction/fingerprint
+    * recompute) — the budgeted-run tax the cost-aware victim order
+    * minimizes; Bench publishes it as memo_rebuilds. */
+  def rebuilds: Long = rebuildTick.get()
+
+  /** Wall seconds spent in [[rebuilds]] — memo_rebuild_sec in Bench. */
+  def rebuildSeconds: Double =
+    math.rint(rebuildNanosTotal.get() / 1e7) / 100
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 

@@ -4,39 +4,59 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.StreamingQueryListener
 
-/** Streaming throughput/latency probe (round-12 verdict ask #5): drive
-  * [[graft.streaming.EventStreams.windowedMonitor]] over the events
-  * table as a RATE-LIMITED file stream and publish the operational half
-  * of the bounded-state claim — sustained rows/s, per-batch latency,
-  * and the state-store trajectory across the run.
+/** Streaming throughput/latency probe (round-12 verdict ask #5, extended
+  * round 13 to the full streaming surface): drive each streaming
+  * pipeline over a rate-limited file stream and publish the operational
+  * half of its state claim — sustained rows/s, per-batch latency, the
+  * state-store trajectory across the run, and a RESTART catch-up
+  * measurement (stop mid-stream, land more data, restart from the same
+  * checkpoint: the time to drain the backlog includes the state-store
+  * reload, the recovery path a production ingest actually exercises).
   *
-  * Shape: the events table is split (untimed prep) into
-  * `SPARK_GRAFT_STREAM_FILES` time-range-partitioned parquet files; the
-  * query reads them back as a file stream at
-  * `SPARK_GRAFT_FILES_PER_TRIGGER` files per micro-batch into the fused
-  * monitor (1 HLL + d count-min + 1 histogram cell per event, one
-  * exchange, one mixed aggregate) and discards output to the `noop`
-  * sink in Update mode, so the measured cost is the operator, not a
-  * sink. A [[StreamingQueryListener]] records every batch's input rows,
-  * duration, and state-operator footprint.
+  * Pipelines (SPARK_GRAFT_STREAM_PIPELINES, default all three):
+  *  - `monitor`  — [[graft.streaming.EventStreams.windowedMonitor]],
+  *    the fused sketch aggregate. State = |open windows| × (64 + d·w +
+  *    bins) cells: bounded by the event-time RANGE, flat in event count.
+  *  - `sessionize` — [[graft.streaming.EventStreams.sessionize]], the
+  *    flatMapGroupsWithState sessionizer, the state-heaviest operator:
+  *    one [[graft.streaming.EventStreams.SessionState]] row per DISTINCT
+  *    user (GroupStateTimeout.NoTimeout — sessions never expire, so
+  *    state grows with |users|, NOT with event count; re-keyed scale
+  *    copies multiply users, so state here scales with sf while the
+  *    monitor's stays flat — both are published, each against its bound).
+  *  - `ingest` — [[graft.streaming.CorpusIngest.dedupExact]] over the
+  *    documents table (ts synthesized: doc_id seconds past an epoch, so
+  *    arrival order is id order). State = one digest entry per distinct
+  *    document inside the TTL horizon (EventTimeTimeout expires older) —
+  *    bounded by the dedup horizon, not stream lifetime.
   *
-  * What "bounded state" means operationally, and what the artifact
-  * shows: monitor state is |open windows| × (64 + d·w + bins) cells —
-  * proportional to the event-time RANGE, NOT the event count. The
-  * synthesized scale factors multiply event count inside the same time
-  * range, so state rows must plateau at the same ceiling at sf0.1 and
-  * sf10 while throughput scales with the box; `state_rows_max` across
-  * scales is the flatness evidence SCALE.md publishes.
+  * Shape: each pipeline's source table is split (untimed prep) into
+  * `SPARK_GRAFT_STREAM_FILES` time-range-partitioned parquet files; a
+  * `SPARK_GRAFT_STREAM_SPLIT` fraction lands before the first query
+  * instance, the rest lands while it is STOPPED and is drained by the
+  * restarted instance (catch-up). Output goes to the `noop` sink so the
+  * measured cost is the operator, not a sink; a
+  * [[StreamingQueryListener]] records every batch's input rows,
+  * duration, and state-operator footprint. Listener events are posted
+  * asynchronously — after each stop the harness polls until the batch
+  * log stabilizes before reading it (round-12 ADVICE: reading
+  * immediately can miss trailing micro-batches).
   *
-  * Emits one JSON line (driver-tail style, like [[Bench]]); the
-  * lossless per-batch record goes to target/streambench.json.
+  * Emits one JSON line with a per-pipeline summary block; the lossless
+  * per-batch record goes to target/streambench.json.
   */
 object StreamBench {
+  private final case class B(id: Long, rows: Long, durMs: Long,
+      stateRows: Long, stateBytes: Long)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val nFiles = sys.env.getOrElse("SPARK_GRAFT_STREAM_FILES", "100").toInt
     val perTrigger = sys.env.getOrElse("SPARK_GRAFT_FILES_PER_TRIGGER", "5")
+    val split = sys.env.getOrElse("SPARK_GRAFT_STREAM_SPLIT", "0.7").toDouble
+    val pipelines = sys.env.getOrElse("SPARK_GRAFT_STREAM_PIPELINES",
+      "monitor,sessionize,ingest").split(",").map(_.trim).filter(_.nonEmpty)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -44,20 +64,8 @@ object StreamBench {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
 
-    // untimed prep: one arrival unit per time-range slice (files arrive
-    // roughly in event-time order, the realistic ingestion shape)
-    val work = java.nio.file.Files.createTempDirectory("streambench")
-    val srcDir = s"$work/events"
-    val ckpt = s"$work/ckpt"
-    val ev = Tables.events(spark, sfDir).select("ts", "user_id", "value")
-    val total = ev.count()
-    ev.repartitionByRange(nFiles, col("ts"))
-      .write.mode("overwrite").parquet(srcDir)
-    val schema = spark.read.parquet(srcDir).schema
-
-    final case class B(id: Long, rows: Long, durMs: Long,
-        stateRows: Long, stateBytes: Long)
     val batches = scala.collection.mutable.ArrayBuffer.empty[B]
     spark.streams.addListener(new StreamingQueryListener {
       override def onQueryStarted(
@@ -76,39 +84,144 @@ object StreamBench {
           e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     })
 
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", perTrigger).parquet(srcDir)
-    val t0 = System.nanoTime()
-    val q = graft.streaming.EventStreams.windowedMonitor(stream)
-      .writeStream.format("noop").outputMode("update")
-      .option("checkpointLocation", ckpt)
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    val wall = (System.nanoTime() - t0) / 1e9
+    // listener events arrive asynchronously on the bus: after a stop,
+    // wait until the batch log stops growing (500 ms quiet, 10 s cap)
+    // before reading it, or trailing micro-batches silently undercount
+    def settleBatches(): Seq[B] = {
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var last = -1
+      var quietSince = System.nanoTime()
+      while (System.nanoTime() < deadline &&
+          (System.nanoTime() - quietSince) < 500L * 1000 * 1000) {
+        val n = batches.synchronized(batches.size)
+        if (n != last) { last = n; quietSince = System.nanoTime() }
+        Thread.sleep(50)
+      }
+      batches.synchronized(batches.toSeq)
+    }
 
-    val bs = batches.synchronized(batches.toSeq)
-      .filter(_.rows > 0).sortBy(_.id)
-    val durs = bs.map(_.durMs).sorted
     def r2(x: Double): Double = math.rint(x * 100) / 100
+
+    /** Run one pipeline: phase A over the first `split` of the files,
+      * stop, land the rest, restart from the same checkpoint, drain.
+      * Returns (summaryJson, perBatchDetailJson). */
+    def run(name: String,
+        prep: String => Unit, // write ALL nFiles parts into the staging dir
+        query: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+        schemaOf: String => org.apache.spark.sql.types.StructType,
+        outputMode: String): (String, String) = {
+      val work = java.nio.file.Files.createTempDirectory(s"streambench-$name")
+      val stage = s"$work/stage"
+      val srcDir = s"$work/src"
+      val ckpt = s"$work/ckpt"
+      prep(stage)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+      // range-partitioned part files are in event-time order by index;
+      // move the first `split` before phase A, the rest before phase B
+      val parts = new java.io.File(stage).listFiles()
+        .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+      val nA = math.max(1, math.min(parts.length - 1,
+        math.round(parts.length * split).toInt))
+      def land(fs: Array[java.io.File]): Unit = fs.foreach { f =>
+        java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(srcDir, f.getName))
+      }
+      land(parts.take(nA))
+      val schema = schemaOf(srcDir)
+
+      def drain(): (Double, Long) = {
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", perTrigger).parquet(srcDir)
+        val t0 = System.nanoTime()
+        val q = query(stream)
+          .writeStream.format("noop").outputMode(outputMode)
+          .option("checkpointLocation", ckpt)
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        val wall = (System.nanoTime() - t0) / 1e9
+        (wall, settleBatches().filter(_.rows > 0).map(_.rows).sum)
+      }
+
+      batches.synchronized(batches.clear())
+      val (wallA, rowsA) = drain()
+      val bsA = settleBatches().filter(_.rows > 0).sortBy(_.id)
+      // the "kill": the query object is gone; only the checkpoint
+      // survives. Land the backlog, then measure restart-to-drained —
+      // state reload + backlog processing, the production recovery path.
+      land(parts.drop(nA))
+      batches.synchronized(batches.clear())
+      val (wallB, rowsTotal) = drain()
+      val rowsB = rowsTotal // phase-B listener log was cleared: only new rows
+      val bsB = settleBatches().filter(_.rows > 0).sortBy(_.id)
+
+      val bs = bsA ++ bsB
+      val durs = bs.map(_.durMs).sorted
+      val summary =
+        s""""$name":{"rows_per_sec":${r2((rowsA + rowsB) / (wallA + wallB))},""" +
+        s""""total_rows":${rowsA + rowsB},"wall_sec":${r2(wallA + wallB)},""" +
+        s""""n_batches":${bs.size},""" +
+        s""""batch_ms_median":${if (durs.nonEmpty) durs(durs.size / 2) else -1},""" +
+        s""""batch_ms_max":${if (durs.nonEmpty) durs.last else -1},""" +
+        s""""state_rows_first":${bs.headOption.map(_.stateRows).getOrElse(-1L)},""" +
+        s""""state_rows_max":${if (bs.nonEmpty) bs.map(_.stateRows).max else -1L},""" +
+        s""""state_rows_last":${bs.lastOption.map(_.stateRows).getOrElse(-1L)},""" +
+        s""""state_bytes_max":${if (bs.nonEmpty) bs.map(_.stateBytes).max else -1L},""" +
+        s""""restart_catchup_sec":${r2(wallB)},"restart_rows":$rowsB,""" +
+        s""""restart_rows_per_sec":${r2(rowsB / wallB)}}"""
+      val detail = bs.map(b => s"""{"batch":${b.id},"rows":${b.rows},""" +
+        s""""ms":${b.durMs},"state_rows":${b.stateRows},""" +
+        s""""state_bytes":${b.stateBytes}}""").mkString("[", ",", "]")
+      (summary, s""""$name":$detail""")
+    }
+
+    // --- pipeline definitions ------------------------------------------
+    val eventCols = Seq("event_id", "ts", "user_id", "event_type", "value",
+      "props")
+    def prepEvents(stage: String): Unit =
+      Tables.events(spark, sfDir).select(eventCols.map(col): _*)
+        .repartitionByRange(nFiles, col("ts"))
+        .write.mode("overwrite").parquet(stage)
+    def prepDocs(stage: String): Unit =
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"),
+          // synthesized event time: doc_id seconds past an epoch —
+          // deterministic, monotone with id, spans hours at sf0.1 so
+          // the TTL horizon genuinely expires state mid-run
+          (org.apache.spark.sql.functions.lit(
+            java.sql.Timestamp.valueOf("2026-01-01 00:00:00")).cast("long") +
+            col("doc_id")).cast("timestamp").as("ts"),
+          col("text"))
+        .repartitionByRange(nFiles, col("ts"))
+        .write.mode("overwrite").parquet(stage)
+    def schemaAt(dir: String): org.apache.spark.sql.types.StructType =
+      spark.read.parquet(dir).schema
+
+    val defs: Map[String, () => (String, String)] = Map(
+      "monitor" -> (() => run("monitor", prepEvents,
+        df => graft.streaming.EventStreams.windowedMonitor(df),
+        schemaAt, "update")),
+      "sessionize" -> (() => run("sessionize", prepEvents,
+        df => graft.streaming.EventStreams.sessionize(
+          df.as[graft.streaming.EventStreams.Event]).toDF(),
+        schemaAt, "update")),
+      "ingest" -> (() => run("ingest", prepDocs,
+        df => graft.streaming.CorpusIngest.dedupExact(
+          df.as[graft.streaming.CorpusIngest.Doc]).toDF(),
+        schemaAt, "append")))
+
+    val results = pipelines.flatMap(p => defs.get(p).map(f => p -> f()))
     val json =
-      s"""{"metric":"stream_rows_per_sec","value":${r2(total / wall)},""" +
-      s""""unit":"rows/sec","sf":"$sfDir","total_rows":$total,""" +
-      s""""wall_sec":${r2(wall)},"n_batches":${bs.size},""" +
-      s""""batch_ms_median":${if (durs.nonEmpty) durs(durs.size / 2) else -1},""" +
-      s""""batch_ms_max":${if (durs.nonEmpty) durs.last else -1},""" +
-      s""""state_rows_first":${bs.headOption.map(_.stateRows).getOrElse(-1L)},""" +
-      s""""state_rows_max":${if (bs.nonEmpty) bs.map(_.stateRows).max else -1L},""" +
-      s""""state_rows_last":${bs.lastOption.map(_.stateRows).getOrElse(-1L)},""" +
-      s""""state_bytes_max":${if (bs.nonEmpty) bs.map(_.stateBytes).max else -1L},""" +
-      s""""files":$nFiles,"files_per_trigger":$perTrigger}"""
+      s"""{"metric":"stream_bench","sf":"$sfDir","files":$nFiles,""" +
+      s""""files_per_trigger":$perTrigger,"split":$split,""" +
+      s""""pipelines":${results.map(_._2._1).mkString("{", ",", "}")}}"""
     new java.io.File("target").mkdirs()
-    val detail = bs.map(b => s"""{"batch":${b.id},"rows":${b.rows},""" +
-      s""""ms":${b.durMs},"state_rows":${b.stateRows},""" +
-      s""""state_bytes":${b.stateBytes}}""").mkString("[", ",", "]")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/streambench.json"),
-      json.dropRight(1) + s""","batches":$detail}""" + "\n")
+      json.dropRight(1) +
+        s""","batches":${results.map(_._2._2).mkString("{", ",", "}")}}""" +
+        "\n")
     spark.stop()
     println(json)
   }

@@ -24,6 +24,9 @@ object Verify {
     // oracle gate itself run under eviction pressure (SCALE.md round-12)
     sys.env.get("SPARK_GRAFT_MEMO_BUDGET").foreach(b =>
       spark.conf.set("graft.memo.maxPinnedBytes", b))
+    // optional edge-checkpoint storage dispatch override (see Bench)
+    sys.env.get("SPARK_GRAFT_SER_CKPT_BYTES").foreach(b =>
+      spark.conf.set("graft.graph.serializedCheckpointBytes", b))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

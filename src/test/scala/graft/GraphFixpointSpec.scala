@@ -199,4 +199,42 @@ class GraphFixpointSpec extends SparkSpec {
       } finally spark.conf.unset(key)
     }
   }
+
+  test("edge-checkpoint storage level dispatches on source bytes, results unchanged") {
+    // round-13: unconditional MEMORY_AND_DISK_SER (the sf100 OOM fix)
+    // taxed every gate-scale fixpoint read with deserialization —
+    // 15-22% on the r12 driver bench. The dispatch keeps the fast
+    // deserialized default below graft.graph.serializedCheckpointBytes
+    // of lineitem bytes and the compact spill-friendly SER form above.
+    import org.apache.spark.storage.StorageLevel
+    val key = "graft.graph.serializedCheckpointBytes"
+    spark.conf.unset(key)
+    try {
+      // sf0.001 lineitem is ~100 KB — far under the 4 GiB default
+      Graph.edgeCheckpointLevel(spark, sfDir) shouldBe
+        StorageLevel.MEMORY_AND_DISK
+      // force the big-data side: everything is past a 0-byte budget
+      spark.conf.set(key, "0")
+      Graph.edgeCheckpointLevel(spark, sfDir) shouldBe
+        StorageLevel.MEMORY_AND_DISK_SER
+      // a missing source dir dispatches to SER (survival default for
+      // non-local deployments, which should set the conf explicitly)
+      spark.conf.unset(key)
+      Graph.edgeCheckpointLevel(spark, "/nonexistent") shouldBe
+        StorageLevel.MEMORY_AND_DISK_SER
+      // storage level is plan-invisible: the same ranks come out of a
+      // fresh edge build either way
+      def ranks(): Map[Long, Double] = {
+        Memo.release(spark); Cleanup(spark)
+        Graph.pagerankRanks(spark, sfDir, 3).collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      }
+      val fast = ranks()
+      spark.conf.set(key, "0")
+      ranks() shouldBe fast
+    } finally {
+      spark.conf.unset(key)
+      Memo.release(spark); Cleanup(spark)
+    }
+  }
 }

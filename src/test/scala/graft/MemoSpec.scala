@@ -78,39 +78,49 @@ class MemoSpec extends SparkSpec {
     }
   }
 
-  test("pinned-byte budget evicts least-recently-used entries, never the one in use") {
+  test("pinned-byte budget evicts by bytes-per-rebuild-second, never the one in use") {
     Memo.clear(); Cleanup(spark)
-    def build(key: String) = Memo(spark, key) {
+    // buildDelayMs simulates rebuild COST — the denominator of the
+    // cost-aware victim score (freeable bytes / build seconds)
+    def build(key: String, buildDelayMs: Long = 0L) = Memo(spark, key) {
+      Thread.sleep(buildDelayMs)
       spark.range(200000).select(col("id"), (col("id") * 2).as("v"))
         .localCheckpoint(true)
     }
     try {
-      val a = build("memospec.bud.a")
+      // a is EXPENSIVE to rebuild (≥800 ms build), b is cheap; both pin
+      // the same bytes, so b's bytes-per-rebuild-second dominates
+      val a = build("memospec.bud.a", buildDelayMs = 800L)
       val pinsAfterA = Memo.pinnedRddIds(spark)
       val b = build("memospec.bud.b")
       val bPins = Memo.pinnedRddIds(spark).diff(pinsAfterA)
       bPins should not be empty
       val perEntry = Memo.pinnedBytes(spark) / 2
       perEntry should be > 0L
-      // touch a so b is the least recently used
-      (build("memospec.bud.a") eq a) shouldBe true
+      // touch b so a is the least recently used: a pure-LRU policy
+      // (the pre-round-13 behavior that produced the sf10 rebuild
+      // storms) would evict a here — cost-aware must still evict b
+      (build("memospec.bud.b") eq b) shouldBe true
       // query boundary: a and b are no longer in-flight, so they become
-      // evictable (recency order survives the boundary — lastUse is
-      // independent of the touched-set protection)
+      // evictable (score order is independent of the touched-set
+      // protection)
       Memo.queryBoundary(spark)
       // budget that fits TWO entries: the third build must evict exactly
-      // the LRU entry (b), keeping a (recently used) and c (just built)
+      // the cheapest-per-byte entry (b), keeping a (expensive rebuild,
+      // despite being LRU) and c (just built)
       spark.conf.set("graft.memo.maxPinnedBytes", (perEntry * 2).toString)
+      val rebuildsBefore = Memo.rebuilds
       val c = build("memospec.bud.c")
-      // a survived (recently used) and still serves from the memo...
+      // a survived (expensive to rebuild) and still serves from the memo...
       (build("memospec.bud.a") eq a) shouldBe true
       // ...c survived (just built)...
       (build("memospec.bud.c") eq c) shouldBe true
       // ...and b was evicted: its blocks are gone from the block manager
-      // and rebuilding yields a NEW frame
+      // and rebuilding yields a NEW frame, which the rebuild ledger counts
       val live = spark.sparkContext.getPersistentRDDs.keySet
       bPins.foreach(id => live should not contain id)
       (build("memospec.bud.b") eq b) shouldBe false
+      (Memo.rebuilds - rebuildsBefore) should be >= 1L
     } finally {
       spark.conf.unset("graft.memo.maxPinnedBytes")
       Memo.release(spark)
@@ -182,11 +192,14 @@ class MemoSpec extends SparkSpec {
           .localCheckpoint(true))
       }
       outerF.count() shouldBe 200000L
-      // touch inner so OUTER is the LRU victim when the budget bites
+      // touch inner for good measure; under the cost-aware order outer
+      // is the victim REGARDLESS of recency — inner's blocks are
+      // co-pinned by outer (freeable bytes 0 → score 0, sorts last),
+      // while outer's own checkpoint is sole-pinned and freeable
       (inner() eq innerF) shouldBe true
       // two distinct checkpoints pinned so far (inner's, outer's own);
       // budget fits ~2.5 of the three about to exist, so exactly ONE
-      // eviction (the LRU = outer) brings it under
+      // eviction (the top-scored = outer) brings it under
       val perEntry = Memo.pinnedBytes(spark) / 2
       perEntry should be > 0L
       // boundary: inner/outer leave the in-flight protection set
