@@ -59,6 +59,13 @@ object GraphScaleProbe {
       .config("spark.sql.shuffle.partitions", shufParts)
       .config("spark.sql.warehouse.dir", warehouse)
       .config("spark.buffer.pageSize", pageSize)
+      // shuffle files are freed by ContextCleaner only when the dead
+      // ShuffleDependency objects are GC'd; the 30 min default periodic
+      // GC is longer than whole queries here, so at sf100 tens of GB of
+      // dead shuffle accumulate across the family and the box ENOSPCs
+      // (measured round 13: the retry's cascade after q_ppr's green
+      // 812 s run). Tighten it, and force a GC per query loop below.
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         "true")
       .config("spark.ui.enabled", "false")
@@ -110,6 +117,12 @@ object GraphScaleProbe {
         }
       }
       Cleanup(spark)
+      // surface dead shuffle deps to ContextCleaner NOW (see builder
+      // note) and give its async file deletes a moment to land — this
+      // is scratch-DISK hygiene, not memory hygiene, and it is the
+      // difference between one green query and a family at sf100
+      System.gc()
+      Thread.sleep(3000)
       System.err.println(s"[probe] $name: ${if (ok) s"$sec s" else "FAILED"}")
       name -> (if (ok) sec else -1.0)
     }
