@@ -64,8 +64,14 @@ object GraphScaleProbe {
       // GC is longer than whole queries here, so at sf100 tens of GB of
       // dead shuffle accumulate across the family and the box ENOSPCs
       // (measured round 13: the retry's cascade after q_ppr's green
-      // 812 s run). Tighten it, and force a GC per query loop below.
+      // 812 s run). Tighten it, force a GC per query loop below, and
+      // make shuffle removal BLOCKING: the async cleaner thread cannot
+      // unlink ~10⁶ small map-output files (256 maps × 256 reducers ×
+      // ~20 shuffles/query) faster than the next query writes new ones
+      // — measured as a 49 GB blockmgr dir persisting at 99% disk with
+      // every job dead and two GCs fired.
       .config("spark.cleaner.periodicGC.interval", "2min")
+      .config("spark.cleaner.referenceTracking.blocking.shuffle", "true")
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         "true")
       .config("spark.ui.enabled", "false")
@@ -79,6 +85,47 @@ object GraphScaleProbe {
       val t0 = System.nanoTime()
       val v = f
       (math.rint((System.nanoTime() - t0) / 1e7) / 100, v)
+    }
+
+    /** Scratch-disk settle: GC (surfaces dead shuffle deps to the
+      * ContextCleaner, whose shuffle removal is blocking — builder
+      * conf) then poll the JVM's block-manager directories until their
+      * footprint stops shrinking (2 s quiet, 180 s cap). Between
+      * sf100-sized queries this is the difference between a green
+      * family and an ENOSPC cascade; at small sf it settles in one
+      * poll. */
+    def settleScratch(s: SparkSession): Unit = {
+      def scratchBytes: Long = {
+        val roots = s.sparkContext.getConf
+          .get("spark.local.dir", System.getProperty("java.io.tmpdir"))
+          .split(",").map(_.trim).filter(_.nonEmpty)
+        roots.map { r =>
+          val d = new java.io.File(r)
+          Option(d.listFiles()).getOrElse(Array.empty)
+            .filter(_.getName.startsWith("blockmgr-"))
+            .map { bm =>
+              var acc = 0L
+              val stack = scala.collection.mutable.Stack(bm)
+              while (stack.nonEmpty) {
+                val f = stack.pop()
+                if (f.isDirectory)
+                  Option(f.listFiles()).foreach(_.foreach(stack.push))
+                else acc += f.length()
+              }
+              acc
+            }.sum
+        }.sum
+      }
+      System.gc()
+      val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+      var last = Long.MaxValue
+      var cur = scratchBytes
+      while (cur < last && System.nanoTime() < deadline) {
+        last = cur
+        Thread.sleep(2000)
+        System.gc()
+        cur = scratchBytes
+      }
     }
 
     // ---- stage 1: the deployment's one-time bucketed layout ----------
@@ -97,6 +144,11 @@ object GraphScaleProbe {
     }
     System.err.println(s"[probe] bucketed layout: lineitem $liSec s, " +
       s"orders $ordSec s ($buckets buckets)")
+    // the layout writes shuffled 750 M rows — free their dead shuffle
+    // files BEFORE the first query, or it pays them as lost scratch
+    // (measured: q_pagerank ENOSPCs first-in-line while the identical
+    // q_ppr fits after the abort cleans the leftovers)
+    settleScratch(spark)
 
     // ---- stage 2: the graph family over the bucketed sources ---------
     spark.conf.set("graft.graph.lineitemBucketTable", "g_li_b")
@@ -117,12 +169,7 @@ object GraphScaleProbe {
         }
       }
       Cleanup(spark)
-      // surface dead shuffle deps to ContextCleaner NOW (see builder
-      // note) and give its async file deletes a moment to land — this
-      // is scratch-DISK hygiene, not memory hygiene, and it is the
-      // difference between one green query and a family at sf100
-      System.gc()
-      Thread.sleep(3000)
+      settleScratch(spark)
       System.err.println(s"[probe] $name: ${if (ok) s"$sec s" else "FAILED"}")
       name -> (if (ok) sec else -1.0)
     }
