@@ -186,7 +186,9 @@ class TablesSpec extends SparkSpec {
   // pins). Canceled (not passed) when the synth dir is absent, so a
   // plain `sbt test` run stays meaningful without the 10× generation.
   test("canary: synth-sf1 output (tools/make_sf.py) keeps the driver testdata schemas") {
-    val dir = sys.env.getOrElse("GRAFT_SYNTH_DIR", "/tmp/sf1")
+    // default = the round-13 canonical granular-layout synth dir (the
+    // pre-r12 single-row-group /tmp/sf1 is deleted, SCALE.md round-13)
+    val dir = sys.env.getOrElse("GRAFT_SYNTH_DIR", "/tmp/sf1n")
     assume(new java.io.File(s"$dir/events.parquet").exists(),
       s"synth dir $dir absent — python3 tools/make_sf.py /root/testdata/sf0.1 $dir 10")
     assertCanary("synth-sf1", dir)
