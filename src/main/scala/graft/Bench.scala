@@ -12,7 +12,12 @@ object Bench {
     // → AGGREGATE_OUT_OF_MEMORY) — the knob every cluster deployment
     // owns (SCALE.md session defaults), exposed here for big-sf probes
     val shufParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
-    val spark = SparkSession.builder()
+    // big-sf mode (SPARK_GRAFT_SETTLE=1): the scratch-settle discipline
+    // the round-13 sf100 probe proved out, generalized here so multi-query
+    // suites at big sf don't inherit the dead-shuffle ENOSPC cascade
+    // (Cleanup scaladoc). The two cleaner confs are STATIC — builder-time.
+    val settle = sys.env.get("SPARK_GRAFT_SETTLE").exists(_.trim == "1")
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufParts)
       // cached plans pin their partitioning unless AQE is allowed to
@@ -26,7 +31,10 @@ object Bench {
       // session zone (Tables.scala scaladoc); pin it here too so bench
       // timings measure the same instants Verify checks, host TZ-independent
       .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
+    val spark =
+      (if (settle) Cleanup.settleBuilderConfs(builder0) else builder0)
+        .getOrCreate()
+    if (settle) spark.conf.set("graft.cleanup.settleScratch", "true")
     spark.sparkContext.setLogLevel("WARN")
     // optional pinned-byte memo budget (SCALE.md budgeted probe runs);
     // evictions performed under it are published in the JSON artifact
@@ -175,6 +183,15 @@ object Bench {
     val measure = "min-of-reps, warm page cache, memo-marginal " +
       "(one-time shared builds excluded; their cost is memo_builds_sec, " +
       "-1 when not measured)"
+    // cross-round comparisons must lead with the per-query median-ratio
+    // method, not totals: host load drifts 1.4x+ between artifacts
+    // (widest observed driver/builder same-tree spread 1.24x, r13), so a
+    // uniform shift across untouched queries is drift, not regressions —
+    // adjudicate single queries by interleaved A/B (SCALE.md drift notes)
+    val driftNote = "host load drifts 1.4x+ between runs: compare " +
+      "artifacts by per-query MEDIAN RATIO over common queries, " +
+      "interleaved A/B for single queries (SCALE.md drift protocol), " +
+      "never raw totals"
     // memo_evictions/memo_rebuilds are 0 at gate scale BY DESIGN (the
     // sf0.1 working set fits any realistic budget; nothing evicts, so
     // nothing rebuilds) — they only move on budgeted big-sf runs (29
@@ -183,7 +200,7 @@ object Bench {
     // those evictions caused — the figure the cost-aware victim order
     // minimizes.
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","measure":"$measure","memo_builds_sec":$memoBuildsSec,"memo_evictions":${Memo.evictions},"memo_rebuilds":${Memo.rebuilds},"memo_rebuild_sec":${Memo.rebuildSeconds},"queries":$qs,"runs":$runsJson,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","measure":"$measure","host_drift_note":"$driftNote","memo_builds_sec":$memoBuildsSec,"memo_evictions":${Memo.evictions},"memo_rebuilds":${Memo.rebuilds},"memo_rebuild_sec":${Memo.rebuildSeconds},"queries":$qs,"runs":$runsJson,"failed":$failed,"sf":"$sfDir"}"""
     println(json)
     // the stdout line gets truncated by log-capture at ~85 queries — the
     // file copy is the lossless record
@@ -203,7 +220,7 @@ object Bench {
       val qpart = byTime.take(n)
         .map { case (k, v) => f""""$k":${math.rint(v * 100) / 100}%s""" }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${math.rint(total * 100) / 100},"unit":"sec","measure":"$measure","memo_builds_sec":$memoBuildsSec,"memo_evictions":${Memo.evictions},"memo_rebuilds":${Memo.rebuilds},"memo_rebuild_sec":${Memo.rebuildSeconds},"nqueries":${results.size},"full":"target/bench.json","failed":$failed,"sf":"$sfDir","queries":$qpart}"""
+      s"""{"metric":"total","value":${math.rint(total * 100) / 100},"unit":"sec","measure":"$measure","host_drift_note":"$driftNote","memo_builds_sec":$memoBuildsSec,"memo_evictions":${Memo.evictions},"memo_rebuilds":${Memo.rebuilds},"memo_rebuild_sec":${Memo.rebuildSeconds},"nqueries":${results.size},"full":"target/bench.json","failed":$failed,"sf":"$sfDir","queries":$qpart}"""
     }
     val fitting = (byTime.size to 0 by -1).view.map(compact)
       .find(_.length <= budget).getOrElse(compact(0))

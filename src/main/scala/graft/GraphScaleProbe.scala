@@ -49,37 +49,38 @@ object GraphScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val shufParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    // parse up front (fail fast): the value is interpolated into the
+    // emitted JSON — a non-numeric env would both fail Spark later AND
+    // corrupt the artifact line (advisor finding, round 13)
+    val shufParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS",
+      cpus).trim.toInt
     val buckets = sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "256").toInt
     val warehouse = sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE",
       "/tmp/graft_warehouse")
     val pageSize = sys.env.getOrElse("SPARK_GRAFT_PAGE_SIZE", "8m")
-    val spark = SparkSession.builder()
+    // the scratch-settle cleaner confs (blocking shuffle removal,
+    // tightened periodic GC — [[Cleanup.settleBuilderConfs]]) are always
+    // ON here: this probe exists for big-sf runs, where they are the
+    // difference between a green family and an ENOSPC cascade
+    // (mechanism + measurements in the Cleanup scaladoc / SCALE.md r13)
+    val spark = Cleanup.settleBuilderConfs(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", shufParts)
+      .config("spark.sql.shuffle.partitions", shufParts.toString)
       .config("spark.sql.warehouse.dir", warehouse)
       .config("spark.buffer.pageSize", pageSize)
-      // shuffle files are freed by ContextCleaner only when the dead
-      // ShuffleDependency objects are GC'd; the 30 min default periodic
-      // GC is longer than whole queries here, so at sf100 tens of GB of
-      // dead shuffle accumulate across the family and the box ENOSPCs
-      // (measured round 13: the retry's cascade after q_ppr's green
-      // 812 s run). Tighten it, force a GC per query loop below, and
-      // make shuffle removal BLOCKING: the async cleaner thread cannot
-      // unlink ~10⁶ small map-output files (256 maps × 256 reducers ×
-      // ~20 shuffles/query) faster than the next query writes new ones
-      // — measured as a 49 GB blockmgr dir persisting at 99% disk with
-      // every job dead and two GCs fired.
-      .config("spark.cleaner.periodicGC.interval", "2min")
-      .config("spark.cleaner.referenceTracking.blocking.shuffle", "true")
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         "true")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.session.timeZone", "UTC"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     sys.env.get("SPARK_GRAFT_MEMO_BUDGET").foreach(b =>
       spark.conf.set("graft.memo.maxPinnedBytes", b))
+    // size-dispatch override for the node-state broadcasts (the sf100
+    // triangle adjacency join broadcasts ~5-6 GB on a 64 g heap — beyond
+    // the 1 GiB library default, sane for this single-JVM probe)
+    sys.env.get("SPARK_GRAFT_BROADCAST_STATE").foreach(b =>
+      spark.conf.set("graft.graph.broadcastStateBytes", b))
 
     def timed[T](f: => T): (Double, T) = {
       val t0 = System.nanoTime()
@@ -87,50 +88,29 @@ object GraphScaleProbe {
       (math.rint((System.nanoTime() - t0) / 1e7) / 100, v)
     }
 
-    /** Scratch-disk settle: GC (surfaces dead shuffle deps to the
-      * ContextCleaner, whose shuffle removal is blocking — builder
-      * conf) then poll the JVM's block-manager directories until their
-      * footprint stops shrinking (2 s quiet, 180 s cap). Between
-      * sf100-sized queries this is the difference between a green
-      * family and an ENOSPC cascade; at small sf it settles in one
-      * poll. */
-    def settleScratch(s: SparkSession): Unit = {
-      def scratchBytes: Long = {
-        val roots = s.sparkContext.getConf
-          .get("spark.local.dir", System.getProperty("java.io.tmpdir"))
-          .split(",").map(_.trim).filter(_.nonEmpty)
-        roots.map { r =>
-          val d = new java.io.File(r)
-          Option(d.listFiles()).getOrElse(Array.empty)
-            .filter(_.getName.startsWith("blockmgr-"))
-            .map { bm =>
-              var acc = 0L
-              val stack = scala.collection.mutable.Stack(bm)
-              while (stack.nonEmpty) {
-                val f = stack.pop()
-                if (f.isDirectory)
-                  Option(f.listFiles()).foreach(_.foreach(stack.push))
-                else acc += f.length()
-              }
-              acc
-            }.sum
-        }.sum
-      }
-      System.gc()
-      val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
-      var last = Long.MaxValue
-      var cur = scratchBytes
-      while (cur < last && System.nanoTime() < deadline) {
-        last = cur
-        Thread.sleep(2000)
-        System.gc()
-        cur = scratchBytes
-      }
-    }
+    // scratch-disk settle between queries — the shared discipline
+    // ([[Cleanup.settleScratch]]; this probe proved it out in round 13,
+    // then it moved into the library so Bench/Verify big-sf runs get it
+    // too via SPARK_GRAFT_SETTLE=1)
+    def settleScratch(s: SparkSession): Unit = Cleanup.settleScratch(s)
 
     // ---- stage 1: the deployment's one-time bucketed layout ----------
+    // the in-memory catalog is fresh each JVM, so DROP TABLE alone is a
+    // no-op across runs while the PRIOR run's table directories persist
+    // in the warehouse — saveAsTable then refuses to create a managed
+    // table over a non-empty location (advisor finding, round 13):
+    // delete the directories too
     spark.sql("DROP TABLE IF EXISTS g_li_b")
     spark.sql("DROP TABLE IF EXISTS g_ord_b")
+    for (t <- Seq("g_li_b", "g_ord_b")) {
+      val dir = java.nio.file.Paths.get(warehouse, t)
+      if (java.nio.file.Files.exists(dir)) {
+        val st = java.nio.file.Files.walk(dir)
+        try st.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally st.close()
+      }
+    }
     val (liSec, _) = timed {
       Tables.lineitem(spark, sfDir)
         .select("l_orderkey", "l_partkey", "l_suppkey")

@@ -226,8 +226,16 @@ object Memo {
     // tax is a first-class artifact number, and the eviction policy's
     // cost term below is measured the same way.
     locally {
-      val bk = (System.identityHashCode(s.sparkContext), key)
-      if (!everBuilt.add(bk)) {
+      // context identity = applicationId@startTime — unlike an identity
+      // hash it cannot be REUSED by a later context after GC (advisor
+      // finding, round 13: a reused hash miscounts a first build in a
+      // fresh context as a rebuild). Spark enforces one active context
+      // per JVM, so any ledger entry under a DIFFERENT id belongs to a
+      // stopped context — prune those here, the same hygiene point the
+      // entry/touched maps use above.
+      val ctxId = contextLedgerId(s)
+      everBuilt.removeIf(_._1 != ctxId)
+      if (!everBuilt.add((ctxId, key))) {
         rebuildTick.incrementAndGet()
         rebuildNanosTotal.addAndGet(buildNanos)
       }
@@ -377,9 +385,16 @@ object Memo {
   def evictions: Long = evictionTick.get()
 
   // rebuild ledger (see applyImpl): keys this JVM has built at least
-  // once, by context identity hash — no strong context refs to leak
+  // once, by non-reusable context id — no strong context refs to leak,
+  // and dead-context rows are pruned at the applyImpl hygiene point
   private val everBuilt = java.util.Collections.newSetFromMap(
-    new ConcurrentHashMap[(Int, String), java.lang.Boolean])
+    new ConcurrentHashMap[(String, String), java.lang.Boolean])
+
+  /** Non-reusable identity for the rebuild ledger: applicationId plus
+    * startTime — a stopped context's identity HASH can be reused after
+    * GC, this pair cannot. */
+  private def contextLedgerId(s: SparkSession): String =
+    s.sparkContext.applicationId + "@" + s.sparkContext.startTime
   private val rebuildTick = new java.util.concurrent.atomic.AtomicLong(0L)
   private val rebuildNanosTotal =
     new java.util.concurrent.atomic.AtomicLong(0L)

@@ -158,8 +158,23 @@ object StreamBench {
 
       val bs = bsA ++ bsB
       val durs = bs.map(_.durMs).sorted
+      // overhead-bound marker (round-13 verdict minor): when the median
+      // batch carries fewer rows than the amortization floor, the run's
+      // rows/s measures MICRO-BATCH STARTUP, not the operator — the
+      // sf0.1 monitor's "5.7k rows/s" is this artifact, while the same
+      // pipeline reads 474k rows/s at sf10n where batches are ~500k
+      // rows. Flag it in the artifact so a rate that misleads at one
+      // scale factor can't be read as a throughput claim.
+      val rowsMed = {
+        val rs = bs.map(_.rows).sorted
+        if (rs.nonEmpty) rs(rs.size / 2) else 0L
+      }
+      val overheadFloor =
+        sys.env.getOrElse("SPARK_GRAFT_OVERHEAD_ROWS", "50000").toLong
       val summary =
         s""""$name":{"rows_per_sec":${r2((rowsA + rowsB) / (wallA + wallB))},""" +
+        s""""rows_per_batch_median":$rowsMed,""" +
+        s""""overhead_bound":${rowsMed < overheadFloor},""" +
         s""""total_rows":${rowsA + rowsB},"wall_sec":${r2(wallA + wallB)},""" +
         s""""n_batches":${bs.size},""" +
         s""""batch_ms_median":${if (durs.nonEmpty) durs(durs.size / 2) else -1},""" +

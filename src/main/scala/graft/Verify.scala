@@ -10,15 +10,24 @@ object Verify {
     // the driver always runs the full set)
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // shuffle partitions scale with DATA at big sf, same knob as Bench
+    val shufParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    // big-sf mode (SPARK_GRAFT_SETTLE=1): scratch-settle at query
+    // boundaries so a big-sf oracle sweep doesn't ENOSPC-cascade on dead
+    // shuffle files (Cleanup scaladoc; the cleaner confs are static)
+    val settle = sys.env.get("SPARK_GRAFT_SETTLE").exists(_.trim == "1")
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufParts)
       .config("spark.sql.session.timeZone", "UTC")
       // let AQE re-coalesce cached-plan output (see Bench.scala)
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark =
+      (if (settle) Cleanup.settleBuilderConfs(builder0) else builder0)
+        .getOrCreate()
+    if (settle) spark.conf.set("graft.cleanup.settleScratch", "true")
     spark.sparkContext.setLogLevel("WARN")
     // optional pinned-byte memo budget, same plumbing as Bench: lets the
     // oracle gate itself run under eviction pressure (SCALE.md round-12)

@@ -239,11 +239,18 @@ object Graph {
 
   private def edgeFramesBuild(s: org.apache.spark.sql.SparkSession,
       d: String): (DataFrame, DataFrame, Long) = {
+    // pair-packed distinct (the [[coOccurEdges]] discipline): the
+    // join's raw (cust, supp) stream is ~900 M rows at sf100 and the
+    // distinct is its only wide exchange — one 8-byte key per row
+    // instead of two columns (custkeys and suppkeys are both < 2³²)
     val edges0 = ordersSource(s, d)
       .join(lineitemSource(s, d, "l_orderkey", "l_suppkey"),
         col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .select((col("o_custkey") * lit(4294967296L) + col("l_suppkey"))
+        .as("pk"))
       .distinct()
+      .select(shiftright(col("pk"), 32).as("c"),
+        col("pk").bitwiseAND(lit(4294967295L)).as("s"))
     // undirected: each endpoint both emits and receives rank
     val e = edges0.select(col("c").as("src"),
         (col("s") + supplierOffset).as("dst"))
@@ -519,12 +526,24 @@ object Graph {
     * orderkey (map-side combined), pairs generate NARROW from the sorted
     * set via codegen'd posexplode + slice (each element pairs with its
     * successors — no self-join, no second scan; the q_cooccur_pmi
-    * pattern), then one (p1, p2) distinct exchange. Basket sizes are
-    * bounded (parts per order), so the generate fan-out is a constant
-    * factor, not a skew hazard. */
+    * pattern), then one distinct exchange over the pair PACKED into a
+    * single long (p1·2³² + p2 — partkeys are < 2³², the same packing
+    * [[triangleFrames]] already relies on). Basket sizes are bounded
+    * (parts per order), so the generate fan-out is a constant factor,
+    * not a skew hazard.
+    *
+    * The packing matters at scale: the raw pair stream is the family's
+    * single biggest exchange (~900 M rows at sf100 — the round-13
+    * scratch-disk bound), and one 8-byte long per row vs two drops the
+    * UnsafeRow from 24 to 16 bytes (−33% shuffle write) AND gives the
+    * sort-based fallback an 8-byte radix-sortable key. */
   private[graft] def coOccurEdges(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame =
-    coOccurPairs(s, d).distinct()
+    coOccurPairs(s, d)
+      .select((col("p1") * lit(4294967296L) + col("p2")).as("pk"))
+      .distinct()
+      .select(shiftright(col("pk"), 32).as("p1"),
+        col("pk").bitwiseAND(lit(4294967295L)).as("p2"))
 
   /** [[coOccurEdges]], materialized once per (session, dir) and shared
     * by its independent consumers (q_triangles, q_kcore,
@@ -571,9 +590,14 @@ object Graph {
     * graph is a near-clique soup where every community collapses. */
   private[graft] def coOccurWeighted(s: org.apache.spark.sql.SparkSession,
       d: String, minW: Int): DataFrame =
+    // same packed-key exchange as [[coOccurEdges]]: one 8-byte group key
+    // through the pair-width shuffle instead of two columns
     coOccurPairs(s, d)
-      .groupBy("p1", "p2").agg(count(lit(1)).as("w"))
+      .select((col("p1") * lit(4294967296L) + col("p2")).as("pk"))
+      .groupBy("pk").agg(count(lit(1)).as("w"))
       .filter(col("w") >= minW)
+      .select(shiftright(col("pk"), 32).as("p1"),
+        col("pk").bitwiseAND(lit(4294967295L)).as("p2"), col("w"))
 
   /** The SYMMETRIZED repeat-co-purchase edge list (s, t, w) — both
     * directions of every minW-filtered weighted co-occurrence edge —
@@ -632,10 +656,18 @@ object Graph {
     // total order on nodes: (degree, id) packed into one long; partkeys
     // are < 2^32 and degrees < 2^31, so deg*2^32 + id never collides.
     val key = (col("deg") * lit(4294967296L) + col("n")).as("k")
+    val nV = deg.count() // cheap on the checkpointed node-width frame
     val kd = deg.select(col("n"), key)
+    // NODE-width map side: size-dispatch the broadcast ([[stateHint]])
+    // instead of letting the default 10 MB threshold force two
+    // EDGE-width sort-merge exchanges of `e` at big sf — at sf100 the
+    // key map is ~20 M rows (~500 MB hashed, well under the state
+    // budget) while each avoided exchange is a 900 M-row shuffle
     val withK = e
-      .join(kd.select(col("n").as("p1"), col("k").as("k1")), "p1")
-      .join(kd.select(col("n").as("p2"), col("k").as("k2")), "p2")
+      .join(stateHint(kd.select(col("n").as("p1"), col("k").as("k1")),
+        nV, 24L), "p1")
+      .join(stateHint(kd.select(col("n").as("p2"), col("k").as("k2")),
+        nV, 24L), "p2")
     val o = withK.select(
       when(col("k1") < col("k2"), col("p1")).otherwise(col("p2")).as("u"),
       when(col("k1") < col("k2"), col("p2")).otherwise(col("p1")).as("v"))
