@@ -92,7 +92,12 @@ object Bench {
     val memoBuildsSec: Double =
       if (args.nonEmpty) -1.0
       else {
-        val t0 = System.nanoTime()
+        // timed per builder, NOT around the loop: the inter-builder
+        // Cleanup is hygiene, not build work — with SPARK_GRAFT_SETTLE=1
+        // it runs the scratch settle poll (≥2 s/builder), which would
+        // silently inflate the published build figure and make settle
+        // and non-settle artifacts incomparable (round-14 advice).
+        var buildNanos = 0L
         // per-builder isolation: one failing shared build must not abort
         // the bench with no artifact — the affected queries then pay (or
         // fail) their own builds inside timeOne, which already records -1
@@ -100,10 +105,12 @@ object Bench {
         // an OutOfMemoryError/LinkageError means the JVM is corrupted and
         // every later marginal would be a lie — let it propagate.
         MemoProbe.builders(spark, sfDir).foreach { case (name, b) =>
+          val t0 = System.nanoTime()
           try b() catch { case scala.util.control.NonFatal(e) =>
             System.err.println(s"[bench] shared build $name failed: " +
               e.getMessage)
           }
+          buildNanos += System.nanoTime() - t0
           // each builder is its own unit: sweep its non-pinned
           // transients AND declare a memo query boundary, so a set
           // pinned-byte budget can evict earlier builds while later
@@ -113,7 +120,7 @@ object Bench {
           // powerless because every entry was still in-flight.
           Cleanup(spark)
         }
-        math.rint((System.nanoTime() - t0) / 1e7) / 100
+        math.rint(buildNanos / 1e7) / 100
       }
     // optional args = subset of query names (local iteration), run in ARG
     // order — the first query absorbs residual JIT warm-up, so subset

@@ -132,6 +132,32 @@ object Graph {
     if (fits) broadcast(state) else state
   }
 
+  /** Pack a non-negative key pair into ONE 8-byte long (hi·2³² + lo) —
+    * the pair-exchange width discipline: a single radix-sortable long
+    * drops the shuffled UnsafeRow from 24 to 16 bytes on the graph
+    * family's widest exchanges, and (hi < 2³¹ keeps the packed long
+    * non-negative) preserves (hi, lo) lexicographic order, which the
+    * triangle orientation key relies on. PRECONDITION: 0 ≤ hi < 2³¹,
+    * 0 ≤ lo < 2³² — every TPC-H surrogate key and every degree
+    * satisfies it by construction, but arbitrary foreign data need
+    * not, so the packing GUARDS instead of silently colliding
+    * (round-14 advice): the range test is two codegen'd long compares
+    * per row — noise next to the shuffle write it feeds — and raises
+    * on the first violating row. */
+  private[graft] def packPair(hi: org.apache.spark.sql.Column,
+      lo: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(hi < 0 || hi >= lit(2147483648L) ||
+         lo < 0 || lo >= lit(4294967296L),
+      raise_error(concat(lit("packPair key outside [0,2^31)x[0,2^32): ("),
+        hi.cast("string"), lit(","), lo.cast("string"), lit(")")))
+        .cast("long"))
+    .otherwise(hi * lit(4294967296L) + lo)
+
+  private[graft] def unpackHi(pk: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    shiftright(pk, 32)
+  private[graft] def unpackLo(pk: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pk.bitwiseAND(lit(4294967295L))
+
   /** Storage level for EDGE-width checkpoint frames, size-dispatched on
     * the graph source's on-disk bytes (round-12 verdict Wrong #1).
     *
@@ -246,11 +272,9 @@ object Graph {
     val edges0 = ordersSource(s, d)
       .join(lineitemSource(s, d, "l_orderkey", "l_suppkey"),
         col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * lit(4294967296L) + col("l_suppkey"))
-        .as("pk"))
+      .select(packPair(col("o_custkey"), col("l_suppkey")).as("pk"))
       .distinct()
-      .select(shiftright(col("pk"), 32).as("c"),
-        col("pk").bitwiseAND(lit(4294967295L)).as("s"))
+      .select(unpackHi(col("pk")).as("c"), unpackLo(col("pk")).as("s"))
     // undirected: each endpoint both emits and receives rank
     val e = edges0.select(col("c").as("src"),
         (col("s") + supplierOffset).as("dst"))
@@ -540,10 +564,9 @@ object Graph {
   private[graft] def coOccurEdges(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame =
     coOccurPairs(s, d)
-      .select((col("p1") * lit(4294967296L) + col("p2")).as("pk"))
+      .select(packPair(col("p1"), col("p2")).as("pk"))
       .distinct()
-      .select(shiftright(col("pk"), 32).as("p1"),
-        col("pk").bitwiseAND(lit(4294967295L)).as("p2"))
+      .select(unpackHi(col("pk")).as("p1"), unpackLo(col("pk")).as("p2"))
 
   /** [[coOccurEdges]], materialized once per (session, dir) and shared
     * by its independent consumers (q_triangles, q_kcore,
@@ -593,11 +616,11 @@ object Graph {
     // same packed-key exchange as [[coOccurEdges]]: one 8-byte group key
     // through the pair-width shuffle instead of two columns
     coOccurPairs(s, d)
-      .select((col("p1") * lit(4294967296L) + col("p2")).as("pk"))
+      .select(packPair(col("p1"), col("p2")).as("pk"))
       .groupBy("pk").agg(count(lit(1)).as("w"))
       .filter(col("w") >= minW)
-      .select(shiftright(col("pk"), 32).as("p1"),
-        col("pk").bitwiseAND(lit(4294967295L)).as("p2"), col("w"))
+      .select(unpackHi(col("pk")).as("p1"), unpackLo(col("pk")).as("p2"),
+        col("w"))
 
   /** The SYMMETRIZED repeat-co-purchase edge list (s, t, w) — both
     * directions of every minW-filtered weighted co-occurrence edge —
@@ -653,21 +676,26 @@ object Graph {
     val deg = e.select(explode(array(col("p1"), col("p2"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
-    // total order on nodes: (degree, id) packed into one long; partkeys
-    // are < 2^32 and degrees < 2^31, so deg*2^32 + id never collides.
-    val key = (col("deg") * lit(4294967296L) + col("n")).as("k")
+    // total order on nodes: (degree, id) packed into one long — the
+    // guarded [[packPair]] (degrees < 2^31, ids < 2^32 by construction;
+    // order-preserving, see its scaladoc)
+    val key = packPair(col("deg"), col("n")).as("k")
     val nV = deg.count() // cheap on the checkpointed node-width frame
     val kd = deg.select(col("n"), key)
     // NODE-width map side: size-dispatch the broadcast ([[stateHint]])
     // instead of letting the default 10 MB threshold force two
-    // EDGE-width sort-merge exchanges of `e` at big sf — at sf100 the
-    // key map is ~20 M rows (~500 MB hashed, well under the state
-    // budget) while each avoided exchange is a 900 M-row shuffle
+    // EDGE-width sort-merge exchanges of `e` at big sf — each avoided
+    // exchange is a 900 M-row shuffle at sf100. 48 B/row: Spark's
+    // hashed-relation footprint runs 2-4× the 16 raw bytes of (n, k)
+    // (round-14 advice — the old 24 B estimate could admit a relation
+    // well past the budget). The hint is applied ONCE and both attach
+    // joins project from the same hinted frame: the two broadcast
+    // exchanges canonicalize identically (aliases normalize away), so
+    // ReuseExchange builds ONE hashed relation for both joins.
+    val kdH = stateHint(kd, nV, 48L)
     val withK = e
-      .join(stateHint(kd.select(col("n").as("p1"), col("k").as("k1")),
-        nV, 24L), "p1")
-      .join(stateHint(kd.select(col("n").as("p2"), col("k").as("k2")),
-        nV, 24L), "p2")
+      .join(kdH.select(col("n").as("p1"), col("k").as("k1")), "p1")
+      .join(kdH.select(col("n").as("p2"), col("k").as("k2")), "p2")
     val o = withK.select(
       when(col("k1") < col("k2"), col("p1")).otherwise(col("p2")).as("u"),
       when(col("k1") < col("k2"), col("p2")).otherwise(col("p1")).as("v"))

@@ -263,7 +263,9 @@ object Relational {
     * that makes approximate percentiles worth running at 100 TB.
     *
     * Scale shape: two scans (per-group min/max/count, then bucket
-    * counts) with the tiny stats frame broadcast between them; sketch
+    * counts) with the tiny stats frame inlined between them as a
+    * codegen'd literal conditional (size-dispatched to a broadcast
+    * join past 128 groups — see the bucket-pass comment); sketch
     * state is ≤ 256 counters per group after partial aggregation —
     * mergeable by cell-wise addition exactly like count-min, so
     * per-source histograms roll up without re-reading data. The
@@ -294,16 +296,50 @@ object Relational {
       |  mm.n AS n
       |FROM mm JOIN s50 ON mm.rf = s50.rf JOIN s95 ON mm.rf = s95.rf
       |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    // floor(v + 0.5), NOT round(v): Spark's Round on DoubleType
+    // allocates a BigDecimal PER ROW (RoundBase — confirmed in the 4.1
+    // bytecode), and this is the one expression here evaluated per
+    // FACT row — twice (stats pass + bucket pass), 1.2 B allocations
+    // at sf100, the dominant term of the round-13 ledger anomaly
+    // (67.3 s vs 3–9 s neighbors; re-measured round 15, SCALE.md).
+    // floor is a bare Math.floor in codegen, and for the strictly
+    // positive prices the two are identical: HALF_UP(v) = ⌊v + 0.5⌋
+    // for v ≥ 0, and v + 0.5 is exact in double for v < 2⁵¹. The
+    // DuckDB oracle keeps ROUND — both sides compute the same c.
     val x = Tables.lineitem(s, d).select(col("l_returnflag").as("rf"),
-      round(col("l_extendedprice") * 100).cast("long").as("c"))
+      floor(col("l_extendedprice") * 100 + 0.5).as("c"))
     // |groups| rows; materialize once — its three consumers (bucket
     // pass, rank thresholds, edge reconstruction) would otherwise each
     // re-run the stats scan of the fact table
     val mm = x.groupBy("rf")
       .agg(min("c").as("mn"), max("c").as("mx"), count(lit(1)).as("n"))
       .localCheckpoint(true)
-    val bkt = x.join(broadcast(mm), "rf")
-      .select(col("rf"), expr("((c - mn) * 256) DIV (mx - mn + 1)").as("b"))
+    // Bucket pass: per-group (mn, mx) inlined as a codegen'd literal
+    // conditional, NOT a broadcast hash join. The BHJ probe costs
+    // ~60 ns per FACT row even inside whole-stage codegen (string key
+    // hash + HashedRelation lookup + joined-row projection) — measured
+    // round 15 at sf10n as 4.3 s vs 0.6 s for the identical bucket
+    // histogram via the literal form, and it was the dominant term of
+    // the 67 s sf100 ledger anomaly. Collecting mm moves nothing new
+    // to the driver — the broadcast variant already materializes the
+    // same |groups| rows there as a HashedRelation — and the literal
+    // DIV is exact integer arithmetic, same as the join form. The
+    // conditional chain is linear in |groups|, so past 128 groups the
+    // broadcast join (O(1) probe per row) takes over — the same
+    // size-dispatch discipline as Graph.stateHint.
+    val mmRows = mm.select("rf", "mn", "mx").collect()
+    val bkt =
+      if (mmRows.length <= 128) {
+        val b = mmRows.foldLeft(lit(null).cast("long")) { (acc, r) =>
+          val (mn, mx) = (r.getLong(1), r.getLong(2))
+          when(col("rf") === lit(r.getString(0)),
+            expr(s"((c - ${mn}L) * 256) DIV ${mx - mn + 1}L")).otherwise(acc)
+        }
+        x.select(col("rf"), b.as("b"))
+      } else
+        x.join(broadcast(mm), "rf")
+          .select(col("rf"),
+            expr("((c - mn) * 256) DIV (mx - mn + 1)").as("b"))
     val h = bkt.groupBy("rf", "b").agg(count(lit(1)).as("cnt"))
     val cum = h.withColumn("cum",
       sum("cnt").over(Window.partitionBy("rf").orderBy("b")))
