@@ -20,6 +20,8 @@ object MemoProbe {
     * one-time cost its per-query marginals exclude. */
   def builders(s: SparkSession, d: String): Seq[(String, () => Any)] = Seq(
     "edgeFrames" -> (() => operators.Graph.edgeFrames(s, d)),
+    "rankShared" -> (() => operators.Graph.rankShared(s, d)),
+    "pprShared" -> (() => operators.Graph.pprShared(s, d)),
     "coOccurEdgesCk" -> (() => operators.Graph.coOccurEdgesCk(s, d)),
     "weightedEdges" -> (() => operators.Graph.weightedEdges(s, d)),
     "lpaAssignment" -> (() => operators.Graph.lpaAssignment(s, d)),

@@ -297,6 +297,45 @@ object Graph {
     pagerankRanksOn(e, deg, n, nIters)
   }
 
+  /** ONE rank run serving BOTH declared PageRank queries (the
+    * [[kCoreShared]] discipline, round-15 optimization): the bounded
+    * [[iters]]-round query is a deterministic PREFIX of the capped
+    * fixpoint run — every round is the same engine-exact
+    * [[rankIteration]] — so a single loop snapshots round [[iters]]
+    * (= q_pagerank) and keeps iterating with the ε-probe to the
+    * [[rankFixMaxRounds]] cap (= q_pagerank_fixpoint), instead of the
+    * two queries re-running 5 + 8 rounds independently. Exact on every
+    * input, not just where the cap binds: the probe runs on the same
+    * schedule as the standalone fixpoint (checked after every round
+    * until it fires), so an early convergence yields the identical
+    * early state while the snapshot still advances to round [[iters]]
+    * (pinned differentially in GraphFixpointSpec). Memoized per
+    * (session, dir). */
+  private[graft] def rankShared(s: org.apache.spark.sql.SparkSession,
+      d: String): (DataFrame, DataFrame) =
+    graft.Memo(s, s"graph.rankShared:$d", d) {
+      val (e, deg, n) = edgeFrames(s, d)
+      val (snap, fix, _) = rankSharedRun(
+        deg.select(col("src").as("node"), (lit(1.0) / n).as("pr")),
+        pr => rankIteration(e, deg, pr, n), n, rankFixEps,
+        snapAt = iters, maxRounds = rankFixMaxRounds)
+      (snap, fix)
+    }
+
+  /** The PPR twin of [[rankShared]]: one loop serving q_ppr (round-
+    * [[iters]] snapshot) and q_ppr_fixpoint (capped fixpoint). */
+  private[graft] def pprShared(s: org.apache.spark.sql.SparkSession,
+      d: String): (DataFrame, DataFrame) =
+    graft.Memo(s, s"graph.pprShared:$d", d) {
+      val (e, deg, n) = edgeFrames(s, d)
+      val reset = pprResetOn(deg)
+      val (snap, fix, _) = rankSharedRun(
+        deg.select(col("src").as("node"), reset.as("pr")),
+        pr => pprIteration(e, deg, pr, n, reset), n, rankFixEps,
+        snapAt = iters, maxRounds = rankFixMaxRounds)
+      (snap, fix)
+    }
+
   /** The bounded rank loop on explicit frames (testable on synthetic
     * graphs; [[pagerankFixpoint]] must equal it at the round it stopped). */
   def pagerankRanksOn(e: DataFrame, deg: DataFrame, n: Long,
@@ -323,7 +362,12 @@ object Graph {
     * order-free integer addition, so the convergence probe reads the
     * same number under any partitioning or join strategy (the
     * quantized-contribution discipline the loops already use). One
-    * node-width join + one scalar aggregate per probe. */
+    * node-width join + one scalar aggregate per probe. (A round-15
+    * experiment fused this into the round's checkpoint by attaching the
+    * previous rank before materialization; the extra broadcast + AQE
+    * stage made rounds 30-90% SLOWER than this separate two-tiny-frame
+    * probe job — measured interleaved at sf0.1, 3 reps — so the
+    * standalone probe stays.) */
   private def rankDelta12(prev: DataFrame, next: DataFrame, n: Long): Long =
     next.select(col("node"), col("pr").as("npr"))
       .join(stateHint(prev.select(col("node"), col("pr").as("ppr")), n),
@@ -356,24 +400,50 @@ object Graph {
 
   /** The converge-and-stop loop both rank fixpoints share (they differ
     * only in init frame and step function): iterate `step` from `init`
-    * until the quantized L1 delta ([[rankDelta12]]) drops below `eps`,
+    * until the quantized L1 delta ([[delta12Of]]) drops below `eps`,
     * capped at `maxRounds`; every round's frame is checkpointed so the
     * probe and the next step read materialized state. One loop body
     * means a probe or cadence change cannot silently apply to one rank
     * family and not the other. */
   private def rankFixpoint(init: DataFrame, step: DataFrame => DataFrame,
       n: Long, eps: Double, maxRounds: Int): (DataFrame, Int) = {
+    val (_, fix, r) = rankSharedRun(init, step, n, eps, snapAt = 0,
+      maxRounds = maxRounds)
+    (fix, r)
+  }
+
+  /** The one rank loop behind the bounded-snapshot sharing AND the
+    * plain fixpoints ([[rankShared]] / [[pprShared]] / [[rankFixpoint]]):
+    * iterate `step`, probing each checkpointed round with
+    * [[rankDelta12]]; record the first state whose delta drops below
+    * `eps` (the fixpoint result — the probe stops firing after that,
+    * exactly like the standalone loop it replaces) and the state after
+    * `snapAt` rounds (the bounded declared query); run until both are
+    * known or `maxRounds` caps. `snapAt ≤ 0` disables the snapshot
+    * (plain fixpoint mode — the loop then stops at convergence).
+    * Returns (snapshot, fixpointState, roundsToFixpoint). */
+  private[graft] def rankSharedRun(init: DataFrame,
+      step: DataFrame => DataFrame,
+      n: Long, eps: Double, snapAt: Int, maxRounds: Int)
+      : (DataFrame, DataFrame, Int) = {
     val budget12 = math.round(eps * 1e12)
     var pr = init
+    var snap: DataFrame = null
+    var fixed: DataFrame = null
+    var fixedAt = 0
     var r = 0
-    var converged = false
-    while (r < maxRounds && !converged) {
+    while (r < maxRounds && (fixed == null || r < snapAt)) {
       val next = step(pr).localCheckpoint(true)
       r += 1
-      if (rankDelta12(pr, next, n) < budget12) converged = true
+      if (fixed == null && rankDelta12(pr, next, n) < budget12) {
+        fixed = next
+        fixedAt = r
+      }
+      if (r == snapAt) snap = next
       pr = next
     }
-    (pr, r)
+    if (fixed == null) { fixed = pr; fixedAt = r }
+    (if (snap == null) pr else snap, fixed, fixedAt)
   }
 
   /** The q_pagerank oracle, parameterized by iteration count so the
@@ -395,7 +465,8 @@ object Graph {
        |ORDER BY node""".stripMargin
 
   private val qPagerank = Q("q_pagerank", pagerankOracle(iters)) { (s, d) =>
-    pagerankRanks(s, d, iters)
+    // the round-[[iters]] snapshot of the shared run ([[rankShared]])
+    rankShared(s, d)._1
       .select(col("node"), round(col("pr"), 6).as("pr")).orderBy("node")
   }
 
@@ -421,9 +492,9 @@ object Graph {
     * (the cap binds at ε = 10⁻¹², see [[rankFixMaxRounds]]). */
   private val qPagerankFixpoint =
     Q("q_pagerank_fixpoint", pagerankOracle(rankFixMaxRounds)) { (s, d) =>
-      val (e, deg, n) = edgeFrames(s, d)
-      val (pr, _) = pagerankFixpoint(e, deg, n, rankFixEps, rankFixMaxRounds)
-      pr.select(col("node"), round(col("pr"), 6).as("pr")).orderBy("node")
+      // the terminal state of the same shared run as q_pagerank
+      rankShared(s, d)._2
+        .select(col("node"), round(col("pr"), 6).as("pr")).orderBy("node")
     }
 
   /** Personalized PageRank: the walk restarts at a SEED set (customers
@@ -444,7 +515,7 @@ object Graph {
   /** One personalized-rank iteration: the contribution aggregate plus a
     * node-width left join re-applying the reset expression (a pure
     * function of the node id — no per-iteration seed join). */
-  private def pprIteration(e: DataFrame, deg: DataFrame, pr: DataFrame,
+  private[graft] def pprIteration(e: DataFrame, deg: DataFrame, pr: DataFrame,
       n: Long, reset: org.apache.spark.sql.Column): DataFrame = {
     val contrib = e.join(stateHint(pr, n), col("src") === col("node"))
       .join(stateHint(deg, n), "src")
@@ -452,8 +523,13 @@ object Graph {
         round(col("pr") / col("outdeg") * 1000000000000L).cast("long")
           .as("c"))
       .groupBy("dst").agg(sum("c").as("sc"))
+    // contrib is NODE-width (≤ |V| rows): size-dispatch the build side so
+    // the attach is a broadcast hash join, not the sort-merge join the
+    // stat-less checkpointed frames otherwise plan — the SMJ form
+    // shuffled AND sorted both node-width sides every round (2 extra
+    // exchanges/round in the r15 before-plan, plans/r15/q_ppr_before.txt)
     deg.select(col("src").as("node"))
-      .join(contrib, col("node") === col("dst"), "left")
+      .join(stateHint(contrib, n), col("node") === col("dst"), "left")
       .select(col("node"),
         (lit(0.15) * reset +
           lit(0.85) * (coalesce(col("sc"), lit(0L)) / 1000000000000.0))
@@ -518,7 +594,8 @@ object Graph {
     * set, five engine-exact iterations ([[pprRanks]]); oracle unrolls
     * them with the identical quantized arithmetic. */
   private val qPpr = Q("q_ppr", pprOracle(iters)) { (s, d) =>
-    pprRanks(s, d, iters)
+    // the round-[[iters]] snapshot of the shared run ([[pprShared]])
+    pprShared(s, d)._1
       .select(col("node"), round(col("pr"), 6).as("pr")).orderBy("node")
   }
 
@@ -538,10 +615,9 @@ object Graph {
     * arithmetic. */
   private val qPprFixpoint =
     Q("q_ppr_fixpoint", pprOracle(rankFixMaxRounds)) { (s, d) =>
-      val (e, deg, n) = edgeFrames(s, d)
-      val (pr, _) =
-        pprFixpoint(e, deg, n, pprResetOn(deg), rankFixEps, rankFixMaxRounds)
-      pr.select(col("node"), round(col("pr"), 6).as("pr")).orderBy("node")
+      // the terminal state of the same shared run as q_ppr
+      pprShared(s, d)._2
+        .select(col("node"), round(col("pr"), 6).as("pr")).orderBy("node")
     }
 
   /** Build the undirected part co-occurrence graph: an edge (p1, p2),
