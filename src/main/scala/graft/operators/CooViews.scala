@@ -19,11 +19,22 @@ object CooViews {
   val matASql: String =
     """matA AS (SELECT l_orderkey % 64 AS i, CAST(l_linenumber AS BIGINT) AS j,
       |  SUM(l_quantity) AS v FROM lineitem GROUP BY 1, 2)""".stripMargin
+  // The three COO views are MODULUS-KEYED aggregates — ≤ 64×8, 7×16 and
+  // 32×7 cells BY CONSTRUCTION at any corpus scale — consumed by ~15
+  // declared queries that each re-ran the fact-table scan + aggregate.
+  // Memoized per (session, dir) like every other shared build (round-15):
+  // one scan per harness run, every consumer reads the ≤512-row
+  // checkpointed blocks. Downstream joins on these views (and on
+  // aggregates derived from them) may broadcast unconditionally — the
+  // cell count is bounded by the key moduli, not the data.
   def matA(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .groupBy((col("l_orderkey") % 64).as("i"),
-        col("l_linenumber").cast("long").as("j"))
-      .agg(sum("l_quantity").as("v"))
+    graft.Memo(s, s"coo.matA:$d", d) {
+      Tables.lineitem(s, d)
+        .groupBy((col("l_orderkey") % 64).as("i"),
+          col("l_linenumber").cast("long").as("j"))
+        .agg(sum("l_quantity").as("v"))
+        .localCheckpoint(true)
+    }
 
   /** 7×16 matrix on the inner dimension of matA: discount cents keyed by
     * (linenumber, suppkey mod 16). */
@@ -32,11 +43,14 @@ object CooViews {
       |  CAST(SUM(CAST(ROUND(l_discount*100) AS BIGINT)) AS DOUBLE) AS v
       |  FROM lineitem GROUP BY 1, 2)""".stripMargin
   def matB(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .groupBy(col("l_linenumber").cast("long").as("i"),
-        (col("l_suppkey") % 16).as("j"))
-      .agg(sum(round(col("l_discount") * 100).cast("long")).cast("double")
-        .as("v"))
+    graft.Memo(s, s"coo.matB:$d", d) {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_linenumber").cast("long").as("i"),
+          (col("l_suppkey") % 16).as("j"))
+        .agg(sum(round(col("l_discount") * 100).cast("long")).cast("double")
+          .as("v"))
+        .localCheckpoint(true)
+    }
 
   /** Signed matrix (for abs / nonzero ops): centered discount cents. */
   val matSSql: String =
@@ -44,11 +58,14 @@ object CooViews {
       |  CAST(SUM(CAST(ROUND(l_discount*100) AS BIGINT) - 5) AS DOUBLE) AS v
       |  FROM lineitem GROUP BY 1, 2)""".stripMargin
   def matS(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .groupBy((col("l_partkey") % 32).as("i"),
-        col("l_linenumber").cast("long").as("j"))
-      .agg(sum(round(col("l_discount") * 100).cast("long") - 5).cast("double")
-        .as("v"))
+    graft.Memo(s, s"coo.matS:$d", d) {
+      Tables.lineitem(s, d)
+        .groupBy((col("l_partkey") % 32).as("i"),
+          col("l_linenumber").cast("long").as("j"))
+        .agg(sum(round(col("l_discount") * 100).cast("long") - 5).cast("double")
+          .as("v"))
+        .localCheckpoint(true)
+    }
 
   /** Tall-skinny design matrix X for the normal-equations path: one row per
     * lineitem, 4 quantized feature columns (bias, quantity, discount, tax —

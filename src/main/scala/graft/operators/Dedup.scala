@@ -289,8 +289,17 @@ object Dedup {
     * near-dup edge keep themselves. */
   def resolve(docIds: DataFrame, candidatePairs: DataFrame): DataFrame = {
     val cc = connectedComponents(candidatePairs)
+    // cc is a checkpointed node-width frame (one row per doc inside some
+    // near-dup component — a stat-less LogicalRDD leaf), so the verdict
+    // join otherwise plans a sort-merge join that shuffles AND sorts
+    // both doc-width sides (r15 before-plan, q_dedup_pipeline). Count
+    // its materialized blocks (cheap) and ride the graph family's
+    // size-dispatched broadcast: hash join under the budget, the plain
+    // join beyond it — at a scale where the component table outgrows
+    // broadcast the right deployment co-partitions on doc_id anyway.
+    val ccRenamed = cc.withColumnRenamed("node", "doc_id")
     docIds.select(col("doc_id"))
-      .join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .join(Graph.stateHint(ccRenamed, cc.count()), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("comp"), col("doc_id")).as("keep_id"))
       .withColumn("is_canonical", col("doc_id") === col("keep_id"))

@@ -737,11 +737,13 @@ object Graph {
   private[graft] def triangleCounts(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame = triangleFrames(s, d)._1
 
-  /** (per-node triangle counts, per-node degrees) over [[coOccurEdges]].
-    * Split out so the clustering-coefficient query joins the two without
-    * a second edge build (the shared `e` is checkpointed once). */
+  /** (per-node triangle counts, per-node degrees, |V|) over
+    * [[coOccurEdges]]. Split out so the clustering-coefficient query
+    * joins the two without a second edge build (the shared `e` is
+    * checkpointed once); |V| rides along so the verdict join can size
+    * its broadcast dispatch without a second count job. */
   private[graft] def triangleFrames(s: org.apache.spark.sql.SparkSession,
-      d: String): (DataFrame, DataFrame) = {
+      d: String): (DataFrame, DataFrame, Long) = {
     // materialized once (and memo-shared with q_kcore*): 2 downstream
     // scans (degree, orientation) would otherwise each re-run the basket
     // aggregate + pair-gen + distinct
@@ -807,7 +809,7 @@ object Graph {
       .select(col("col").as("node"),
         when(col("pos") < 2, col("sz")).otherwise(lit(1L)).as("c"))
       .groupBy("node").agg(sum("c").as("tri"))
-    (tc, deg.select(col("n").as("node"), col("deg")))
+    (tc, deg.select(col("n").as("node"), col("deg")), nV)
   }
 
   /** X17 (graph analytics extension): per-node triangle counts plus the
@@ -836,8 +838,12 @@ object Graph {
       |    (deg.deg * (deg.deg - 1)) END, 6) AS coeff
       |FROM deg LEFT JOIN tc ON tc.node = deg.node
       |ORDER BY deg.node""".stripMargin) { (s, d) =>
-    val (tc, deg) = triangleFrames(s, d)
-    deg.join(tc, Seq("node"), "left")
+    val (tc, deg, nV) = triangleFrames(s, d)
+    // tc is NODE-width aggregate output joined against the stat-less
+    // checkpointed degree frame — without the size-dispatched hint the
+    // verdict join plans a sort-merge join shuffling+sorting both
+    // node-width sides (r15 before-plan); broadcast under the budget
+    deg.join(stateHint(tc, nV), Seq("node"), "left")
       .select(col("node"), coalesce(col("tri"), lit(0L)).as("tri"),
         col("deg"),
         round(when(col("deg") < 2, lit(0.0)).otherwise(
@@ -1190,7 +1196,10 @@ object Graph {
     val sd = lbl.join(wdeg, "n")
       .groupBy(col("lbl").as("community"))
       .agg(count(lit(1)).as("n_nodes"), sum("wd").as("s_deg"))
-    sd.join(win, Seq("community"), "left")
+    // win has one row per community (≤ |V|): same size-dispatched
+    // broadcast as every node-width attach (stat-less inputs otherwise
+    // plan a sort-merge join of two community-width frames)
+    sd.join(stateHint(win, nNodes), Seq("community"), "left")
       .crossJoin(broadcast(tot))
       .select(col("community"), col("n_nodes"),
         coalesce(col("w_in_x2"), lit(0L)).as("w_in_x2"), col("s_deg"),
