@@ -59,6 +59,17 @@ object Bpe {
       .map { case (w, n) => Word(w.map(_.toString).toArray, n) }
   }
 
+  /** [[wordCounts]] from a pre-aggregated (term, tf-sum) frame — the
+    * memoized tf matrix's tokenization is identical to [[wordCounts]]'
+    * (TextFns.normalize + split + drop-empties), so
+    * `tfMatrix.groupBy(term).sum(tf)` yields the same multiplicities
+    * without re-tokenizing the corpus (round-15). */
+  def wordCountsFrom(termCounts: DataFrame): Dataset[Word] = {
+    import termCounts.sparkSession.implicits._
+    termCounts.as[(String, Long)]
+      .map { case (w, n) => Word(w.map(_.toString).toArray, n) }
+  }
+
   /** Greedy left-to-right single-pair merge — the sequential BPE
     * semantics, applied per word (narrow). */
   private[graft] def mergeWord(syms: Array[String], l: String,
