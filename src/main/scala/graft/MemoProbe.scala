@@ -32,6 +32,7 @@ object MemoProbe {
     "tfMatrix" -> (() => operators.TextQueries.tfMatrix(s, d)),
     "twcnbModel" -> (() => operators.TextQueries.twcnbCountModel(s, d)),
     "qualitySig" -> (() => operators.PipelineQueries.qualitySigForProbe(s, d)),
+    "ivfCenters" -> (() => operators.PipelineQueries.ivfCentersForProbe(s, d)),
     "sh8Hashes" -> (() => operators.PipelineQueries.sh8Hashes(s, d)),
     "gramOnePass" -> (() => operators.CooQueries.gramCellsForTest(s, d)),
     "ridgeSums" -> (() => ml.MlQueries.ridgeSumsForProbe(s, d)),
