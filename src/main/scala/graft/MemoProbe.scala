@@ -33,7 +33,7 @@ object MemoProbe {
     "twcnbModel" -> (() => operators.TextQueries.twcnbCountModel(s, d)),
     "qualitySig" -> (() => operators.PipelineQueries.qualitySigForProbe(s, d)),
     "ivfCenters" -> (() => operators.PipelineQueries.ivfCentersForProbe(s, d)),
-    "sh8Hashes" -> (() => operators.PipelineQueries.sh8Hashes(s, d)),
+    "sh8Counts" -> (() => operators.PipelineQueries.sh8Counts(s, d)),
     "gramOnePass" -> (() => operators.CooQueries.gramCellsForTest(s, d)),
     "ridgeSums" -> (() => ml.MlQueries.ridgeSumsForProbe(s, d)),
     "matA" -> (() => operators.CooViews.matA(s, d)),
