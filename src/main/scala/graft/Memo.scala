@@ -64,13 +64,22 @@ import org.apache.spark.sql.SparkSession
   * [[rebuilds]]/[[rebuildSeconds]] ledger the recompute tax budgeted
   * runs pay.
   *
-  * Concurrency contract: builds and the [[Cleanup]] sweep are expected
-  * to run sequentially WITHIN one SparkContext (the harness and the
-  * forked test JVM are both single-session sequential). The build-time
-  * persistent-RDD diff is context-global, so two sessions of ONE context
-  * racing a build could capture each other's fresh blocks; pin-sparing
-  * ([[pinnedRddIds]]) therefore matches on the shared SparkContext, not
-  * session identity — Cleanup from any session of a context spares
+  * Concurrency contract: CONCURRENT BUILDS of distinct keys are
+  * supported (round-16 — the harness's upfront build phase runs
+  * independent builders from a small thread pool, guide §2.6): the
+  * build-time persistent-RDD diff is context-global, so an overlapped
+  * build window may capture a sibling's fresh blocks — entry
+  * registration tolerates that (over-pinning co-pins, safe under the
+  * remove-then-diff release), and the eager transient sweep, the one
+  * unsafe step, detects the overlap and defers to the caller's next
+  * [[Cleanup]] (see `buildThreads`). Two threads racing the SAME key
+  * still resolve first-writer-wins (the loser's value is dropped; its
+  * blocks are freed at the next Cleanup) — schedule distinct keys per
+  * wave to avoid duplicate work. [[Cleanup]]'s sweep must NOT run
+  * concurrently with builds: it would free in-flight, not-yet-registered
+  * checkpoints; the harness runs it only at wave/query boundaries.
+  * Pin-sparing ([[pinnedRddIds]]) matches on the shared SparkContext,
+  * not session identity — Cleanup from any session of a context spares
   * every sibling session's pins, which over-spares (safe) rather than
   * frees a sibling's live checkpoint.
   */
@@ -113,6 +122,29 @@ object Memo {
   // monotonic use counter (NOT wall time: two uses in one millisecond
   // must still order) — drives least-recently-used eviction.
   private val useTick = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  // ---- concurrent-build window tracking (round-16) -------------------
+  // The harness's upfront build phase now runs INDEPENDENT builders from
+  // a small thread pool (guide §2.6 — the round-15 verdict's top ask:
+  // the serial build region was ~40% of cold suite cost). The only part
+  // of applyImpl that is unsafe under overlap is the eager
+  // transient-block sweep: `added` is a context-GLOBAL persistent-RDD
+  // diff, so build A's sweep window can capture build B's fresh blocks
+  // and unpersist B's not-yet-registered checkpoints (B's consumers then
+  // die with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND). Entry REGISTRATION is
+  // already overlap-tolerant (added ∩ keep can only over-pin siblings'
+  // registered blocks — co-pinning is safe by the remove-then-diff
+  // release discipline), so the fix is to detect an overlapped build
+  // window and SKIP the sweep there: the dead transients are freed by
+  // the caller's next [[Cleanup]] (the harness runs one per build wave
+  // and per query), which spares exactly the pinned ids. Nested builds
+  // on ONE thread (rankShared → edgeFrames) are not overlap — the
+  // per-thread set membership keeps their sweep behavior byte-identical
+  // to the sequential discipline.
+  private val buildThreads =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Thread]()
+  private val stampClock = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val overlapStamp = new java.util.concurrent.atomic.AtomicLong(0L)
 
   // never-repeating sentinel for a fingerprint listing that failed
   // mid-walk: unique per failure AND disjoint from the digest value
@@ -180,6 +212,23 @@ object Memo {
   def apply[T <: AnyRef](s: SparkSession, key: String, dir: String)(
       f: => T): T = applyImpl(s, key, fingerprint(dir))(f)
 
+  /** Non-building lookup: the live entry for (s, key) if present and its
+    * data fingerprint still matches — never builds, never invalidates.
+    * Lets a query prefer an already-built SUPERSET entry over running
+    * its own cheaper build (the bounded-rank snap-only dispatch,
+    * round-16): a hit counts as a use (recency + in-flight protection,
+    * like [[apply]]); a stale or absent entry is simply None. */
+  def peek[T <: AnyRef](s: SparkSession, key: String,
+      dir: String): Option[T] = {
+    val k = (s, key)
+    val hit = m.get(k)
+    if (hit != null && hit.fingerprint == fingerprint(dir)) {
+      hit.lastUse = useTick.incrementAndGet()
+      touched.add(k)
+      Some(hit.value.asInstanceOf[T])
+    } else None
+  }
+
   private def applyImpl[T <: AnyRef](s: SparkSession, key: String,
       fp: Long)(f: => T): T = {
     // purge entries whose session's CONTEXT is gone — their checkpointed
@@ -216,8 +265,20 @@ object Memo {
     // happens the loser's value is simply dropped (its blocks stay
     // until release/session end — bounded node/edge-width frames).
     val before = s.sparkContext.getPersistentRDDs.keySet
+    // overlap window open: my start stamp precedes any overlap mark a
+    // concurrent build (or this one, seeing a concurrent build already
+    // in flight) sets during the window
+    val myStart = stampClock.incrementAndGet()
+    val firstForThread = buildThreads.add(Thread.currentThread())
+    if (buildThreads.size > 1) overlapStamp.set(stampClock.incrementAndGet())
     val buildT0 = System.nanoTime()
-    val v = f
+    // the thread stays registered through the SWEEP below (not just
+    // through f): a build starting between our diff and our unpersist
+    // pass must still mark this window overlapped
+    val v = try f catch { case e: Throwable =>
+      if (firstForThread) buildThreads.remove(Thread.currentThread())
+      throw e
+    }
     val buildNanos = System.nanoTime() - buildT0
     // rebuild ledger: a build for a key this JVM has built before (same
     // context) is recompute the memo already paid once — evictions and
@@ -255,9 +316,20 @@ object Memo {
     val keep: Set[Int] =
       if (vFrames.isEmpty) added
       else vFrames.flatMap(reachableRddIds).toSet ++ pinnedRddIds(s)
-    val persisted = s.sparkContext.getPersistentRDDs
-    added.diff(keep).foreach(id =>
-      persisted.get(id).foreach(_.unpersist(blocking = false)))
+    // overlap check happens with this thread still registered, so any
+    // build racing this window has marked (or will see and mark) the
+    // overlap stamp; an overlapped diff may hold a SIBLING's in-flight
+    // blocks, so the eager transient sweep is skipped — the caller's
+    // next Cleanup frees the same blocks (it spares only pinned ids).
+    if (buildThreads.size > 1)
+      overlapStamp.set(stampClock.incrementAndGet())
+    val overlapped = overlapStamp.get() >= myStart
+    if (!overlapped) {
+      val persisted = s.sparkContext.getPersistentRDDs
+      added.diff(keep).foreach(id =>
+        persisted.get(id).foreach(_.unpersist(blocking = false)))
+    }
+    if (firstForThread) buildThreads.remove(Thread.currentThread())
     val entry = Entry(v, added.intersect(keep), fp, buildNanos)
     entry.lastUse = useTick.incrementAndGet()
     val prev = m.putIfAbsent(k, entry)

@@ -40,6 +40,22 @@ object MemoProbe {
     "matB" -> (() => operators.CooViews.matB(s, d)),
     "matS" -> (() => operators.CooViews.matS(s, d)))
 
+  /** Memo-level dependencies BETWEEN the [[builders]] — which earlier
+    * builder each one consumes through a nested memo call. Drives the
+    * concurrent build phase in [[Bench]] (guide §2.6): a builder may
+    * start once its dependencies completed; independent roots overlap.
+    * [[builders]] lists dependencies before dependents, so submitting
+    * in list order into a FIFO pool can never deadlock (a dependent
+    * only waits on tasks already started or finished). */
+  val builderDeps: Map[String, Seq[String]] = Map(
+    "rankShared" -> Seq("edgeFrames"),
+    "pprShared" -> Seq("edgeFrames"),
+    "kCoreShared" -> Seq("coOccurEdgesCk"),
+    "lpaAssignment" -> Seq("weightedEdges"),
+    "bfsShared" -> Seq("weightedEdges"),
+    "twcnbModel" -> Seq("tfMatrix"),
+    "qualitySig" -> Seq("tfMatrix"))
+
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -66,7 +66,11 @@ object Bpe {
     * without re-tokenizing the corpus (round-15). */
   def wordCountsFrom(termCounts: DataFrame): Dataset[Word] = {
     import termCounts.sparkSession.implicits._
-    termCounts.as[(String, Long)]
+    // select the expected columns BY NAME (round-15 advice): positional
+    // as[(String, Long)] would silently bind to whatever order — or
+    // extra columns — a caller happens to pass
+    termCounts.select(col("term").cast("string"), col("n").cast("long"))
+      .as[(String, Long)]
       .map { case (w, n) => Word(w.map(_.toString).toArray, n) }
   }
 
@@ -88,9 +92,33 @@ object Bpe {
     out.toArray
   }
 
+  /** How many top pairs each training round fetches for batched
+    * selection ([[train]]): a driver-side scalar list, so the fetch is
+    * the same TakeOrdered job shape at any K; 32 comfortably covers the
+    * measured per-round acceptance (2–8 on the corpus vocabularies). */
+  private val batchK = 32
+
   /** Learn `numMerges` merges. Returns the merge table in rank order.
     * Deterministic: the argmax tie-break is total (count desc, left asc,
-    * right asc), so the learned table is independent of partitioning. */
+    * right asc), so the learned table is independent of partitioning.
+    *
+    * Batched selection (round-15 verdict #5 — the loop was driver-argmax
+    * bound: one aggregate job per merge): each round fetches the top
+    * [[batchK]] pairs and accepts the longest SORTED PREFIX whose pairs
+    * are pairwise non-interacting, then applies the whole batch in one
+    * narrow map. The accepted sequence is PROVABLY the sequential greedy
+    * sequence: walking the sorted list, a pair is accepted only while it
+    * shares no symbol with any earlier-accepted pair's {left, right,
+    * left+right} — counts of symbol-disjoint pairs are invariant under a
+    * merge (a merge only destroys pairs touching its endpoints and only
+    * creates pairs containing its concatenation, whose counts are
+    * bounded by the destroyed ones), so each accepted pair is still the
+    * exact argmax at its rank, ties included (the first sharing pair
+    * ends the batch precisely because its count may have decayed or, if
+    * it equals the concatenated symbol, grown). Pinned differentially
+    * against [[trainSequential]] in PipelineOpsSpec; merge counts are
+    * recorded from the shared aggregate, which the invariance argument
+    * makes equal to the sequential per-round counts. */
   def train(words: Dataset[Word], numMerges: Int,
       checkpointEvery: Int = 8): Seq[Merge] = {
     import words.sparkSession.implicits._
@@ -101,9 +129,9 @@ object Bpe {
     // a long training run holds exactly ONE corpus snapshot, not
     // numMerges/checkpointEvery of them (advisor finding, round 4)
     var liveCkpt = cur
-    var round = 0
+    var sinceCkpt = 0
     var done = false
-    while (round < numMerges && !done) {
+    while (merges.size < numMerges && !done) {
       // adjacent-pair counts, weighted by word multiplicity: narrow
       // flatMap (pairs stay inside their row) + ONE DataFrame aggregate —
       // groupBy(l, r).sum stays in Tungsten with map-side partial
@@ -116,21 +144,72 @@ object Bpe {
         .toDF("l", "r", "n")
         .groupBy("l", "r").agg(sum("n").as("n"))
         .orderBy(col("n").desc, col("l").asc, col("r").asc)
-        .head(1)
+        .head(batchK)
       if (top.isEmpty) done = true
       else {
-        val (l, r, n) = (top(0).getString(0), top(0).getString(1),
-          top(0).getLong(2))
-        merges += Merge(round, l, r, n)
-        val next = cur.map(w => Word(mergeWord(w.syms, l, r), w.n))
-        // lineage cut: without it round k's plan nests k maps deep
-        cur = if ((round + 1) % checkpointEvery == 0) {
+        // batch acceptance: the sorted prefix of pairwise-disjoint pairs
+        // (symbols AND concatenations — see scaladoc); capped at the
+        // remaining merge budget. TIE GUARDS: a merge's freshly created
+        // pairs carry counts bounded by the touched originals, so a
+        // strictly smaller candidate can never be overtaken — but an
+        // EQUAL-count new pair could win the lexicographic tie-break
+        // (its concatenated symbol sorts arbitrarily). Stop before
+        // accepting a pair whose count (a) ties any touched pair in the
+        // fetched list, or (b) ties the last fetched row while the list
+        // was cut at batchK (unseen equal-count touched pairs may exist
+        // below the cut). Stopping early is always exact — the batch is
+        // just a shorter prefix.
+        val fullList = top.length < batchK
+        val lastN = top(top.length - 1).getLong(2)
+        val batch = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        val used = scala.collection.mutable.Set.empty[String]
+        var stop = false
+        var i = 0
+        while (!stop && i < top.length &&
+            merges.size + batch.size < numMerges) {
+          val (l, r, n) = (top(i).getString(0), top(i).getString(1),
+            top(i).getLong(2))
+          def tieTouched: Boolean = {
+            var j = i + 1
+            var hit = false
+            while (!hit && j < top.length && top(j).getLong(2) == n) {
+              hit = used(top(j).getString(0)) || used(top(j).getString(1))
+              j += 1
+            }
+            hit
+          }
+          if (used(l) || used(r)) stop = true
+          else if (batch.nonEmpty &&
+              ((!fullList && n == lastN) || tieTouched)) stop = true
+          else {
+            batch += ((l, r, n))
+            used += l; used += r; used += (l + r)
+            i += 1
+          }
+        }
+        batch.foreach { case (l, r, n) =>
+          merges += Merge(merges.size, l, r, n)
+        }
+        val pairs = batch.map { case (l, r, _) => (l, r) }.toArray
+        val next = cur.map { w =>
+          var syms = w.syms
+          var j = 0
+          while (j < pairs.length) {
+            syms = mergeWord(syms, pairs(j)._1, pairs(j)._2); j += 1
+          }
+          Word(syms, w.n)
+        }
+        // lineage cut on MERGES applied since the last cut (the plan now
+        // deepens by one map per BATCH, but per-pass recompute cost still
+        // tracks merges folded since the checkpoint)
+        sinceCkpt += batch.size
+        cur = if (sinceCkpt >= checkpointEvery) {
+          sinceCkpt = 0
           val ck = next.localCheckpoint(true) // eager: materializes BEFORE
           liveCkpt.unpersist(blocking = false) // ...the old blocks drop
           liveCkpt = ck
           ck
         } else next
-        round += 1
       }
     }
     merges.toSeq

@@ -60,7 +60,20 @@ object Dedup {
     * exactly the checkpoint blocks it created (handles extracted from
     * each round's plan), never other callers' persisted data. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20,
-      smallEdgeBound: Long = 4L * 1000 * 1000): DataFrame = {
+      smallEdgeBound: Long = 4L * 1000 * 1000): DataFrame =
+    connectedComponentsBound(edges, maxIter, smallEdgeBound)._1
+
+  /** [[connectedComponents]] plus a NODE-COUNT UPPER BOUND (2 × the
+    * canonical edge count — each edge row contributes at most two
+    * distinct nodes), read off the loop's existing seed-count aggregate
+    * at zero extra jobs. Callers size broadcast dispatches with it
+    * ([[Dedup.resolve]]'s verdict join — round-15 verdict #4: the
+    * previous `cc.count()` was an extra Spark action per invocation);
+    * overestimating ≤2× only makes the dispatch switch to the plain
+    * join earlier, the safe direction. */
+  private[graft] def connectedComponentsBound(edges: DataFrame,
+      maxIter: Int = 20,
+      smallEdgeBound: Long = 4L * 1000 * 1000): (DataFrame, Long) = {
     // canonicalize ONCE — (hi, lo) with hi > lo, self-loops split off so
     // their nodes still label themselves. The eager checkpoint
     // materializes the upstream candidate-pair pipeline exactly once;
@@ -124,7 +137,15 @@ object Dedup {
     // checkpoint needed before the first contraction round
     var e = e0.filter(col("u") =!= col("v"))
     var eBlocks: Seq[RDD[_]] = Nil
-    var cnt = e.count()
+    // one aggregate over the checkpointed canonical set yields BOTH the
+    // proper-edge count the loop needs and the total row count behind
+    // the caller's node bound — the previous e.count() job, widened by
+    // one column instead of doubled
+    val cnt0 = e0.agg(
+      coalesce(count(when(col("u") =!= col("v"), 1)), lit(0L)),
+      count(lit(1))).head()
+    var cnt = cnt0.getLong(0)
+    val nodeBound = 2L * cnt0.getLong(1)
     var prevSig: Option[(Long, BigDecimal, Long)] = None
     var iter = 0
     var converged = cnt == 0L // no proper edges: nothing to contract
@@ -207,7 +228,7 @@ object Dedup {
       .localCheckpoint(true)
     freeBlocks(eBlocks)
     freeBlocks(e0Blocks)
-    labels
+    (labels, nodeBound)
   }
 
   /** Reference implementation: iterative min-label propagation with
@@ -288,18 +309,20 @@ object Dedup {
     * verdict (keep = the component's minimum doc id). Documents with no
     * near-dup edge keep themselves. */
   def resolve(docIds: DataFrame, candidatePairs: DataFrame): DataFrame = {
-    val cc = connectedComponents(candidatePairs)
+    val (cc, nodeBound) = connectedComponentsBound(candidatePairs)
     // cc is a checkpointed node-width frame (one row per doc inside some
     // near-dup component — a stat-less LogicalRDD leaf), so the verdict
     // join otherwise plans a sort-merge join that shuffles AND sorts
-    // both doc-width sides (r15 before-plan, q_dedup_pipeline). Count
-    // its materialized blocks (cheap) and ride the graph family's
-    // size-dispatched broadcast: hash join under the budget, the plain
-    // join beyond it — at a scale where the component table outgrows
-    // broadcast the right deployment co-partitions on doc_id anyway.
+    // both doc-width sides (r15 before-plan, q_dedup_pipeline). Size the
+    // graph family's broadcast dispatch with the node bound the CC loop
+    // already derived from its own seed aggregate (round-15 verdict #4:
+    // the previous cc.count() here was an extra Spark action per
+    // invocation): hash join under the budget, the plain join beyond —
+    // at a scale where the component table outgrows broadcast the right
+    // deployment co-partitions on doc_id anyway.
     val ccRenamed = cc.withColumnRenamed("node", "doc_id")
     docIds.select(col("doc_id"))
-      .join(Graph.stateHint(ccRenamed, cc.count()), Seq("doc_id"), "left")
+      .join(Graph.stateHint(ccRenamed, nodeBound), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("comp"), col("doc_id")).as("keep_id"))
       .withColumn("is_canonical", col("doc_id") === col("keep_id"))

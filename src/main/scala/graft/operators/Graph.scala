@@ -336,6 +336,33 @@ object Graph {
       (snap, fix)
     }
 
+  /** Snap-only dispatch for the BOUNDED rank queries (round-15 verdict
+    * #10): a session that already paid the shared run reads its
+    * round-[[iters]] snapshot; a session running ONLY the bounded query
+    * (the standalone-user case at 100 TB) runs the plain bounded loop —
+    * no convergence probes, no rounds past [[iters]] — instead of
+    * iterating the shared run to the fixpoint cap. Memoized under its
+    * own key so repeated standalone runs pay it once; the harness path
+    * is unchanged (MemoProbe builds the shared run upfront, so the peek
+    * hits). Bit-identical either way: the snapshot IS the bounded loop's
+    * round-[[iters]] state (GraphFixpointSpec). */
+  private[graft] def rankSnap(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    graft.Memo.peek[(DataFrame, DataFrame)](s, s"graph.rankShared:$d", d)
+      .map(_._1)
+      .getOrElse(graft.Memo(s, s"graph.rankSnap:$d", d) {
+        pagerankRanks(s, d, iters).localCheckpoint(true)
+      })
+
+  /** The PPR twin of [[rankSnap]]. */
+  private[graft] def pprSnap(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    graft.Memo.peek[(DataFrame, DataFrame)](s, s"graph.pprShared:$d", d)
+      .map(_._1)
+      .getOrElse(graft.Memo(s, s"graph.pprSnap:$d", d) {
+        pprRanks(s, d, iters).localCheckpoint(true)
+      })
+
   /** The bounded rank loop on explicit frames (testable on synthetic
     * graphs; [[pagerankFixpoint]] must equal it at the round it stopped). */
   def pagerankRanksOn(e: DataFrame, deg: DataFrame, n: Long,
@@ -426,6 +453,12 @@ object Graph {
       step: DataFrame => DataFrame,
       n: Long, eps: Double, snapAt: Int, maxRounds: Int)
       : (DataFrame, DataFrame, Int) = {
+    // a snapshot round past the cap would silently degrade to the capped
+    // terminal state instead of the bounded-loop result — fail loudly
+    // (round-15 advice; current callers pass iters=5 < cap=8)
+    require(snapAt <= 0 || snapAt <= maxRounds,
+      s"rankSharedRun: snapAt=$snapAt exceeds maxRounds=$maxRounds — " +
+        "the bounded snapshot would silently truncate at the cap")
     val budget12 = math.round(eps * 1e12)
     var pr = init
     var snap: DataFrame = null
@@ -465,8 +498,9 @@ object Graph {
        |ORDER BY node""".stripMargin
 
   private val qPagerank = Q("q_pagerank", pagerankOracle(iters)) { (s, d) =>
-    // the round-[[iters]] snapshot of the shared run ([[rankShared]])
-    rankShared(s, d)._1
+    // the shared run's round-[[iters]] snapshot when available, else the
+    // plain bounded loop — never the fixpoint's extra rounds ([[rankSnap]])
+    rankSnap(s, d)
       .select(col("node"), round(col("pr"), 6).as("pr")).orderBy("node")
   }
 
@@ -594,8 +628,9 @@ object Graph {
     * set, five engine-exact iterations ([[pprRanks]]); oracle unrolls
     * them with the identical quantized arithmetic. */
   private val qPpr = Q("q_ppr", pprOracle(iters)) { (s, d) =>
-    // the round-[[iters]] snapshot of the shared run ([[pprShared]])
-    pprShared(s, d)._1
+    // the shared run's round-[[iters]] snapshot when available, else the
+    // plain bounded loop — never the fixpoint's extra rounds ([[pprSnap]])
+    pprSnap(s, d)
       .select(col("node"), round(col("pr"), 6).as("pr")).orderBy("node")
   }
 

@@ -153,13 +153,18 @@ object TextQueries {
     * instead of two. The tfidf-weighted model (q_twcnb_tfidf) trains on
     * different weights and keeps its own chain. */
   private[graft] def twcnbCountModel(s: org.apache.spark.sql.SparkSession,
-      d: String): DataFrame =
+      d: String): (DataFrame, Long) =
     graft.Memo(s, s"text.twcnbModel:$d", d) {
       // train(tokens) is trainWeighted with f = 1 per occurrence; feeding
       // the shared tf matrix with f = tf yields the identical ntc aggregate
-      TWCNB.trainWeighted(tfMatrix(s, d)
+      val m = TWCNB.trainWeighted(tfMatrix(s, d)
         .select(col("lang").as("label"), col("term"), col("tf").as("f")))
         .localCheckpoint(true)
+      // |V|·L row count memoized WITH the model (round-15 advice): the
+      // score join's broadcast dispatch was re-running a count job per
+      // q_nb_score execution; counting the materialized blocks once at
+      // build time is the triangleFrames |V| discipline
+      (m, m.count())
     }
 
   /** N5: the full TWCNB training chain (TWCNB.scala:28-148) — one Catalyst
@@ -169,7 +174,7 @@ object TextQueries {
     s"""WITH $twcnbSql
        |SELECT label, term, ROUND(w, 6) + 0.0 AS w FROM model
        |ORDER BY label, term""".stripMargin) { (s, d) =>
-    twcnbCountModel(s, d)
+    twcnbCountModel(s, d)._1
       .select(col("label"), col("term"), Q.roundz(col("w"), 6).as("w"))
       .orderBy("label", "term")
   }
@@ -191,9 +196,9 @@ object TextQueries {
       // broadcast the |V|·L model under the state budget, plain
       // shuffle join beyond it (the corpus-scale form TWCNB.score's
       // scaladoc describes — vocabulary-sized models never broadcast).
-      val model = twcnbCountModel(s, d)
+      val (model, modelRows) = twcnbCountModel(s, d)
       val tf = tfMatrix(s, d).select("doc_id", "term", "tf")
-      TWCNB.score(tf, Graph.stateHint(model, model.count(), 48L))
+      TWCNB.score(tf, Graph.stateHint(model, modelRows, 48L))
         .select(col("doc_id"), col("label"),
           Q.roundz(col("score"), 6).as("score"))
         .orderBy("doc_id", "label")

@@ -59,4 +59,27 @@ class CorpusPipelineSpec extends SparkSpec {
     info(s"funnel: $total docs -> $nCanon canonical -> " +
       s"$nSurvive quality -> $nMixed mixed")
   }
+
+  test("q_dedup_pipeline delta path == the direct survivor pass at the dup-bearing scale") {
+    // sf0.1 is the only shipped scale with exact duplicates (8 of 5000
+    // docs) — the scale where the round-16 delta correction actually
+    // fires (k > 0). Pin the DECLARED query's output bit-identical
+    // against the pre-delta plan, reachable via headroom = 0 (k > 0
+    // then dispatches to the direct survivor pass, the round-15 code).
+    val dir = "/root/testdata/sf0.1"
+    assume(new java.io.File(dir).exists(), s"$dir absent")
+    val docs = Tables.documents(spark, dir)
+    val k = docs.count() - docs.select(md5(col("text"))).distinct().count()
+    assume(k > 0, "corpus carries no exact dups — delta path would not fire")
+    try {
+      val delta = byName("q_dedup_pipeline").fn(spark, dir).collect()
+      Cleanup(spark)
+      spark.conf.set("graft.dedup.deltaHeadroom", "0")
+      val direct = byName("q_dedup_pipeline").fn(spark, dir).collect()
+      delta should contain theSameElementsInOrderAs direct
+    } finally {
+      spark.conf.unset("graft.dedup.deltaHeadroom")
+      Memo.release(spark); Cleanup(spark)
+    }
+  }
 }

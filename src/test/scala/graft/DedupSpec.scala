@@ -145,6 +145,42 @@ class DedupSpec extends SparkSpec {
     narrow.queryExecution.executedPlan.toString should not include "Exchange"
   }
 
+  test("survivor delta-corrected pairs == the direct survivor pass, incl. newly-rare band shingles") {
+    import spark.implicits._
+    val P = graft.operators.PipelineQueries
+    // corpus engineered so exact dedup CHANGES the rare-shingle set:
+    // a phrase shared by 53 docs (df = 53 > τ = 50 — capped away in the
+    // full corpus), three of them exact copies of doc 0. Removing the
+    // copies drops the phrase's df to 50 ≤ τ — NEWLY RARE — so the
+    // survivor corpus gains C(50,2) phrase pairs the full-corpus stage
+    // never saw, while pairs touching the removed docs (via doc 0's
+    // unique tail shingles) must drop. Docs 60/61 add an ordinary
+    // surviving near-dup pair.
+    val phrase = "alpha beta gamma delta epsilon"
+    val base = (0L until 50L).map(i =>
+      (i, s"$phrase uniq${i}a uniq${i}b uniq${i}c"))
+    val copies = Seq(50L, 51L, 52L).map(i => (i, base.head._2))
+    val pair = Seq(
+      (60L, "foo bar baz qux quux corge sixty"),
+      (61L, "foo bar baz qux quux corge sixtyone"))
+    val docs = (base ++ copies ++ pair).toDF("doc_id", "text")
+    val removed = Seq(50L, 51L, 52L).toDF("doc_id")
+    val stage = P.candidateStageOf(docs, cap = 50 + 64)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val got = pairSet(P.survivorJaccardPairs(stage, removed))
+    val want = pairSet(P.jaccardPairs(
+      docs.join(removed, Seq("doc_id"), "left_anti")))
+    got shouldBe want
+    // the newly-rare phrase really created pairs the full stage lacked
+    val full = pairSet(stage._1)
+    (got.keySet -- full.keySet) should not be empty
+    // and with nothing removed, the delta is the identity
+    pairSet(P.survivorJaccardPairs(stage,
+      spark.emptyDataset[Long].toDF("doc_id"))) shouldBe full
+  }
+
   test("resolve keeps exactly one canonical doc per dup group") {
     import spark.implicits._
     val docs = (0L until 10L).toDF("doc_id")

@@ -311,4 +311,38 @@ class GraphFixpointSpec extends SparkSpec {
       Memo.release(spark); Cleanup(spark)
     }
   }
+
+  // ---- round-16: snap-only dispatch for the BOUNDED rank queries ----
+
+  test("bounded rank query standalone runs snap-only; with the shared run built it reads the snapshot") {
+    try {
+      Memo.release(spark); Cleanup(spark)
+      // cold session, bounded query only: the snap-only loop (no probes,
+      // no rounds past `iters`) — results == the plain bounded loop
+      val coldSnap = Graph.rankSnap(spark, sfDir)
+      val (e, deg, n) = Graph.edgeFrames(spark, sfDir)
+      rankMap(coldSnap) shouldBe rankMap(Graph.pagerankRanksOn(e, deg, n, 5))
+      val coldPpr = Graph.pprSnap(spark, sfDir)
+      val reset = when(col("node") < 1000000L && col("node") % 100 === 0,
+        lit(1.0) / deg.select(col("src").as("node"))
+          .where(col("node") < 1000000L && col("node") % 100 === 0).count())
+        .otherwise(lit(0.0))
+      rankMap(coldPpr) shouldBe rankMap(Graph.pprRanksOn(e, deg, n, reset, 5))
+      // once the shared run exists, the dispatch returns ITS snapshot
+      // (same values, and the very same memoized frame — no extra loop)
+      val (sharedSnap, _) = Graph.rankShared(spark, sfDir)
+      assert(Graph.rankSnap(spark, sfDir) eq sharedSnap)
+    } finally {
+      Memo.release(spark); Cleanup(spark)
+    }
+  }
+
+  test("rankSharedRun rejects a snapshot round past the cap") {
+    val (e, deg, n) = rankFrames(
+      for (a <- 1L to 4L; b <- a + 1 to 4L) yield (a, b))
+    val init = deg.select(col("src").as("node"), (lit(1.0) / n).as("pr"))
+    an[IllegalArgumentException] should be thrownBy
+      Graph.rankSharedRun(init, pr => Graph.rankIteration(e, deg, pr, n),
+        n, eps = 0.0, snapAt = 9, maxRounds = 8)
+  }
 }

@@ -36,6 +36,43 @@ class MemoSpec extends SparkSpec {
     Memo.release(spark)
   }
 
+  test("concurrent builds of distinct keys: every entry survives the overlapped windows") {
+    // round-16: the bench's build phase overlaps independent builders —
+    // the context-global RDD diff must not let one build's transient
+    // sweep free a sibling's in-flight checkpoints (the sweep defers to
+    // Cleanup when windows overlap; survival after Cleanup is the
+    // observable property)
+    Memo.clear(); Cleanup(spark)
+    val barrier = new java.util.concurrent.CyclicBarrier(4)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val futs = (0 until 4).map { i =>
+      pool.submit(new java.util.concurrent.Callable[org.apache.spark.sql.DataFrame] {
+        def call(): org.apache.spark.sql.DataFrame =
+          Memo(spark, s"memospec.conc$i") {
+            // hold all four build windows open simultaneously
+            barrier.await(30, java.util.concurrent.TimeUnit.SECONDS)
+            // a transient the sequential path would sweep eagerly
+            val t = spark.range(1000).localCheckpoint(true)
+            t.select(col("id"), (col("id") + i).as("v"))
+              .localCheckpoint(true)
+          }
+      })
+    }
+    val frames = futs.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    // the wave-boundary Cleanup frees deferred transients, spares pins
+    Cleanup(spark)
+    frames.zipWithIndex.foreach { case (f, i) =>
+      f.count() shouldBe 1000
+      f.agg(min(col("v"))).head().getLong(0) shouldBe i.toLong
+      // later consumers get the registered entry, not a rebuild
+      (Memo[org.apache.spark.sql.DataFrame](spark, s"memospec.conc$i") {
+        fail("unexpected rebuild after concurrent build")
+      } eq f) shouldBe true
+    }
+    Memo.release(spark); Cleanup(spark)
+  }
+
   test("a regenerated data directory invalidates the entry: stale pins freed, value rebuilt") {
     Memo.clear(); Cleanup(spark)
     val dir = java.nio.file.Files.createTempDirectory("memo-fp").toFile
