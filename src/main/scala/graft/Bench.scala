@@ -116,8 +116,11 @@ object Bench {
     // — the big-sf discipline: at sf10 a boundary-less build stretch kept
     // every entry in-flight and the byte budget powerless; budgeted
     // big-sf probes should run sequential).
+    // default 8 measured best on the 32-core gate (wall 51.4 s serial →
+    // 31.8 s at 4 threads → 16.6 s at 8; the critical path is
+    // edgeFrames → rankShared ≈ 13.4 s, so 8 is near the floor)
     val buildThreads = sys.env.get("SPARK_GRAFT_BUILD_THREADS")
-      .flatMap(v => scala.util.Try(v.trim.toInt).toOption).getOrElse(4)
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption).getOrElse(8)
     var memoBuildsWallSec = -1.0
     val memoBuildsSec: Double =
       if (args.nonEmpty) -1.0

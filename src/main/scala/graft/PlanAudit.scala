@@ -5,10 +5,13 @@ import org.apache.spark.sql.SparkSession
 /** Plan auditor: prints the formatted physical plan of selected queries so
   * the scale properties (filter/projection pushdown, broadcast joins,
   * whole-stage codegen spans, shuffle counts) can be inspected and tracked.
-  * Run: sbt "runMain graft.PlanAudit [query ...]"
+  * Run: sbt "runMain graft.PlanAudit [-d sfDir] [query ...]"
+  * (-d picks the data directory — some dispatches are data-dependent,
+  * e.g. q_dedup_pipeline's survivor delta path only exists where the
+  * corpus carries exact dups, i.e. sf0.1.)
   */
 object PlanAudit {
-  def main(args: Array[String]): Unit = {
+  def main(args0: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       // let AQE re-coalesce cached-plan output (see Bench.scala)
@@ -18,7 +21,10 @@ object PlanAudit {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val d = "/root/testdata/sf0.01"
+    val (d, args) = args0.toSeq match {
+      case Seq("-d", dir, rest @ _*) => (dir, rest.toArray)
+      case _ => ("/root/testdata/sf0.01", args0)
+    }
     // note: q_gram/q_udaf_gram execute eagerly inside their fn (driver-
     // side k×k finale) and return a LocalTableScan — auditing them shows
     // nothing; q_rekey_join covers the honest fact-fact shuffle instead
